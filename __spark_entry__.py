@@ -1,38 +1,877 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries exercise the sits_classification_spark engine over the driver's
+testdata tables:
+
+- time-series tier/rollup semantics (SURVEY.md §2.4/§2.5) run on `events`
+  as the long-form series source (doc = user_id, day = epoch-days of ts);
+- training-data pipeline ops (dedup, text analysis, fingerprints, minhash)
+  run on `documents`;
+- similarity search runs on `embeddings`;
+- relational operators (J3-style joins, A1 STM aggs) run on the TPC-H-ish
+  tables.
+
+Every oracle-checked query mirrors its DuckDB SQL **exactly** (same hash
+construction through md5, same arithmetic expression order, shared rounding)
+so value-hash comparison is deterministic. Engine-native queries without an
+ANSI-SQL equivalent (Gorilla round-trip, the fused mapInPandas cascade, ANN
+LSH) omit the oracle entry -> rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from sits_classification_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sits_classification_spark.operators.resample import resample_expr
+from sits_classification_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from sits_classification_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_T = lambda sf, name: f"{sf}/{name}.parquet"  # noqa: E731
+
+
+def _read(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(_T(sf, name))
+
+
+# ---------------------------------------------------------------------------
+# shared series derivation: events -> deduped long-form (doc_id, day, value)
+# (decode W6 + dedup-first-per-day W7/J6, pytorch/predict.py:400-413)
+# ---------------------------------------------------------------------------
+
+def _series(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _read(spark, sf, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    ev = ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("user_id").alias("doc_id"), F.col("day").cast("long").alias("day"), "value")
+    )
+
+
+_SERIES_SQL = """
+    SELECT doc_id, day, value FROM (
+        SELECT user_id AS doc_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series queries
+# ---------------------------------------------------------------------------
+
+def q_tier_raw_dedup(spark, sf):
+    """W7/J6 dedup keep-first per (doc, day)."""
+    return _series(spark, sf)
+
+
+def q_tier_10d_interp(spark, sf):
+    """W1+W2: linear gap-fill + 10-day equidistant resample (TSA.prm:262-264).
+    Uses the engine's Catalyst-native resample operator."""
+    out = resample_expr(
+        _series(spark, sf).withColumn("source", F.lit("events")), int_day=10
+    )
+    return out.select(
+        "doc_id", F.col("grid_day").cast("long").alias("grid_day"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_locf_3d(spark, sf):
+    """W1 LOCF onto a 3-day grid (last-observation-carried-forward tier)."""
+    s = _series(spark, sf)
+    bounds = s.groupBy("doc_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        "doc_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3))).alias("day"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    obs = s.select("doc_id", "day", "value", F.lit(0).alias("is_grid"))
+    both = obs.unionByName(grid)
+    wb = (
+        Window.partitionBy("doc_id")
+        .orderBy("day", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        both.withColumn("locf", F.last("value", ignorenulls=True).over(wb))
+        .filter(F.col("is_grid") == 1)
+        .select("doc_id", F.col("day").cast("long").alias("grid_day"), F.col("locf").alias("value"))
+    )
+
+
+def q_fold_monthly(spark, sf):
+    """A2 FBM: monthly AVG fold (TSA.prm:314-334)."""
+    s = _series(spark, sf)
+    dt = F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day").cast("int"))
+    return (
+        s.withColumn("bucket", (F.year(dt) * 100 + F.month(dt)).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.round(F.avg("value"), 6).alias("value"), F.count("value").alias("n_obs"))
+    )
+
+
+def q_fold_seasonal(spark, sf):
+    """A2 FBQ from FBM: quarterly fold of the (unrounded) monthly tier."""
+    s = _series(spark, sf)
+    dt = F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day").cast("int"))
+    monthly = (
+        s.withColumn("bucket", (F.year(dt) * 100 + F.month(dt)).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.avg("value").alias("mv"))
+    )
+    yr = F.floor(F.col("bucket") / 100)
+    q = (yr * 10 + F.floor((F.col("bucket") % 100 - 1) / 3) + 1).cast("long")
+    return (
+        monthly.withColumn("qbucket", q)
+        .groupBy("doc_id", F.col("qbucket").alias("bucket"))
+        .agg(F.round(F.avg("mv"), 6).alias("value"), F.count("mv").alias("n_obs"))
+    )
+
+
+def q_stm_user(spark, sf):
+    """A1 STM: MIN/Q25/Q50/Q75/MAX/AVG/STD/RNG/IQR/SKW/KRT/NUM per series
+    (TSA.prm:300-312); population moments like the reference's numpy."""
+    s = _series(spark, sf)
+    v = F.col("value")
+    mean = F.avg(v)
+    m2 = F.avg(v * v) - mean * mean
+    m3 = F.avg(v * v * v) - 3 * mean * F.avg(v * v) + 2 * mean * mean * mean
+    m4 = (
+        F.avg(v * v * v * v)
+        - 4 * mean * F.avg(v * v * v)
+        + 6 * mean * mean * F.avg(v * v)
+        - 3 * F.pow(mean, F.lit(4))
+    )
+    return s.groupBy("doc_id").agg(
+        F.round(F.min(v), 6).alias("vmin"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile(v, F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("q75"),
+        F.round(F.max(v), 6).alias("vmax"),
+        F.round(F.avg(v), 6).alias("avg"),
+        F.round(F.sqrt(m2), 6).alias("std"),
+        F.round(F.max(v) - F.min(v), 6).alias("rng"),
+        F.round(
+            F.percentile(v, F.lit(0.75)) - F.percentile(v, F.lit(0.25)), 6
+        ).alias("iqr"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skw"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("krt"),
+        F.count(v).alias("num"),
+    )
+
+
+_TREND_SLOPE = "((avg(day*value) - avg(day)*avg(value)) / (avg(day*day) - avg(day)*avg(day)))"
+
+
+def q_trend_user(spark, sf):
+    """A3 trend: per-series OLS slope/intercept/r2 (TSA.prm:335-343).
+
+    Explicit moment formulas, textually identical to the SQL oracle —
+    regr_intercept's internal algorithm differs between engines by more
+    than rounding can absorb."""
+    s = _series(spark, sf)
+    return s.groupBy("doc_id").agg(
+        F.expr(f"round({_TREND_SLOPE}, 8)").alias("slope"),
+        F.expr(f"round(avg(value) - {_TREND_SLOPE}*avg(day), 5)").alias("intercept"),
+        F.expr(
+            "round(pow(avg(day*value) - avg(day)*avg(value), 2)"
+            " / ((avg(day*day) - avg(day)*avg(day)) * (avg(value*value) - avg(value)*avg(value))), 8)"
+        ).alias("r2"),
+        F.count("value").alias("n"),
+    )
+
+
+def q_moving_avg_10d(spark, sf):
+    """W3 moving-average smoother: ±10-day range window (TSA.prm:225-228)."""
+    s = _series(spark, sf)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-10, 10)
+    )
+    return s.select(
+        "doc_id",
+        "day",
+        F.round(F.avg("value").over(w), 6).alias("smoothed"),
+        F.count("value").over(w).alias("n_win"),
+    )
+
+
+def q_asof_purchase(spark, sf):
+    """J2 as-of lookup: latest purchase value at-or-before each event
+    (thermal-time as-of semantics, utils/class_run.py:39-61)."""
+    ev = _read(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("doc_id"),
+        "event_type",
+        F.last(pv, ignorenulls=True).over(w).alias("asof_value"),
+    )
+
+
+_HARM_CTE = """
+    sums AS (
+        SELECT doc_id,
+               count(*) AS n,
+               sum(c) AS sc, sum(s) AS ss,
+               sum(c*c) AS scc, sum(s*s) AS sss, sum(c*s) AS scs,
+               sum(value) AS sy, sum(c*value) AS scy, sum(s*value) AS ssy
+        FROM (SELECT doc_id, value,
+                     cos(2*pi()*(day-19700)/30.0) AS c,
+                     sin(2*pi()*(day-19700)/30.0) AS s
+              FROM series) GROUP BY doc_id)
+"""
+
+_HARM_DET = "(n*(scc*sss-scs*scs) - sc*(sc*sss-scs*ss) + ss*(sc*scs-scc*ss))"
+_HARM_A0 = "(sy*(scc*sss-scs*scs) - sc*(scy*sss-scs*ssy) + ss*(scy*scs-scc*ssy))"
+_HARM_A1 = "(n*(scy*sss-scs*ssy) - sy*(sc*sss-scs*ss) + ss*(sc*ssy-scy*ss))"
+_HARM_B1 = "(n*(scc*ssy-scy*scs) - sc*(sc*ssy-scy*ss) + sy*(sc*scs-scc*ss))"
+
+
+def q_harmonic_user(spark, sf):
+    """W5 harmonic fit (1 mode, 30-day period over the event window):
+    closed-form least squares a0 + a1*cos + b1*sin per series
+    (model of force/skel/dswi_harmonic_tsi.py:35-52). The Spark side uses
+    the same textual arithmetic as the SQL oracle for bit-equal op order."""
+    s = _series(spark, sf)
+    s = s.withColumn("c", F.expr("cos(2*pi()*(day-19700)/30.0)")).withColumn(
+        "s", F.expr("sin(2*pi()*(day-19700)/30.0)")
+    )
+    sums = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.expr("c*c")).alias("scc"),
+        F.sum(F.expr("s*s")).alias("sss"),
+        F.sum(F.expr("c*s")).alias("scs"),
+        F.sum("value").alias("sy"),
+        F.sum(F.expr("c*value")).alias("scy"),
+        F.sum(F.expr("s*value")).alias("ssy"),
+    )
+    return sums.select(
+        "doc_id",
+        F.expr(f"round({_HARM_A0} / {_HARM_DET}, 5)").alias("a0"),
+        F.expr(f"round({_HARM_A1} / {_HARM_DET}, 5)").alias("a1"),
+        F.expr(f"round({_HARM_B1} / {_HARM_DET}, 5)").alias("b1"),
+        F.col("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: date-filtered groupBy+multi-agg on lineitem
+    (F3 date-range filter + A1-style aggregates)."""
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1995-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    """J3-style dimension joins (broadcast): customer⋈orders⋈nation⋈region."""
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_top3_orders_per_customer(spark, sf):
+    """Top-K per group via row_number window (common OLAP pattern)."""
+    o = _read(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def q_doc_token_counts(spark, sf):
+    d = _read(spark, sf, "documents")
+    out = token_count(d)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    )
+
+
+def q_doc_quality(spark, sf):
+    d = _read(spark, sf, "documents")
+    out = quality_score(d)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+    )
+
+
+def q_doc_lang_id(spark, sf):
+    d = _read(spark, sf, "documents")
+    out = lang_id(d)
+    casts = [F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("hits_")]
+    return out.select("doc_id", "lang", "pred_lang", *casts)
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _read(spark, sf, "documents")
+    out = fingerprint(d)
+    return out.select("doc_id", "fingerprint", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def q_minhash_sigs(spark, sf):
+    d = _read(spark, sf, "documents")
+    return minhash_signatures(d, k=4)
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    """MinHash LSH candidate pairs: k=4 signature, 2 bands of 2 rows."""
+    sig = minhash_signatures(_read(spark, sf, "documents"), k=4)
+    b0 = F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string"))
+    b1 = F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), b0.alias("bh")),
+                F.struct(F.lit(1).alias("band"), b1.alias("bh")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_simhash16(spark, sf):
+    d = _read(spark, sf, "documents")
+    return simhash(d, nbits=16)
+
+
+def q_ngram_jaccard(spark, sf):
+    """3-gram Jaccard similarity pairs (inverted-index join)."""
+    d = _read(spark, sf, "documents")
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.0, max_shingle_df=10**6)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector."""
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = cosine_topk(e, q, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_norms(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# engine-native queries (no ANSI-SQL equivalent -> rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_cascade_monthly(spark, sf):
+    """The fused mapInPandas tier cascade (raw->10d->monthly) on the
+    deterministic synthetic sequences table; long-form monthly output."""
+    from sits_classification_spark.config import EngineConfig
+    from sits_classification_spark.datagen import generate_spark
+    from sits_classification_spark.plans.cascade import (
+        stage_10d,
+        stage_fold,
+        stage_raw,
+        with_salt,
+    )
+
+    cfg = EngineConfig()
+    seq = with_salt(generate_spark(spark, 500), cfg)
+    monthly = stage_fold(
+        stage_10d(stage_raw(seq, cfg, compress=False), cfg, compress=False),
+        "monthly",
+        cfg,
+        compress=False,
+    )
+    return monthly.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.arrays_zip("buckets", "tokens")).alias("pos", "bt"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("bt.buckets").alias("bucket"),
+        F.col("bt.tokens").alias("token"),
+    )
+
+
+def q_gorilla_roundtrip(spark, sf):
+    """Gorilla+DoD codec round-trip over the raw tier (ok=true per doc)."""
+    import numpy as np
+    import pandas as pd
+
+    from sits_classification_spark.compression.gorilla import decode_series
+    from sits_classification_spark.config import EngineConfig
+    from sits_classification_spark.datagen import generate_spark
+    from sits_classification_spark.plans.cascade import stage_raw, with_salt
+
+    cfg = EngineConfig()
+    raw = stage_raw(with_salt(generate_spark(spark, 300), cfg), cfg, compress=True)
+
+    def check(batches):
+        for pdf in batches:
+            oks = []
+            for eb, ev, bk, vals in zip(
+                pdf["enc_buckets"], pdf["enc_values"], pdf["buckets"], pdf["values"]
+            ):
+                db, dv = decode_series(bytes(eb), bytes(ev))
+                oks.append(
+                    bool(
+                        np.array_equal(db, np.asarray(bk, dtype=np.int64))
+                        and np.array_equal(dv, np.asarray(vals, dtype=np.float64))
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ok": oks})
+
+    return raw.mapInPandas(check, schema="doc_id string, ok boolean")
+
+
+def q_ann_lsh_topk(spark, sf):
+    """ANN via sign-random-projection LSH buckets (approximate; exact
+    baseline is q_cosine_topk)."""
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return ann_lsh_topk(e, q, dim=64, k=10, n_planes=4).select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_fixed_windows(spark, sf):
+    """W8/W9 fixed-length windows: word-length tokens padded/truncated to 64
+    (string-encoded for exact cross-engine comparison)."""
+    d = _read(spark, sf, "documents")
+    from sits_classification_spark.operators.text import words
+
+    toks = F.transform(words("text"), lambda w: F.length(w))
+    padded = F.slice(
+        F.concat(
+            toks,
+            F.array_repeat(F.lit(0), F.greatest(F.lit(0), F.lit(64) - F.size(toks))),
+        ),
+        1,
+        64,
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(padded, lambda x: x.cast("string"))).alias(
+            "window_str"
+        ),
+        F.least(F.size(toks), F.lit(64)).cast("long").alias("valid_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the monthly continuous-aggregate tier over sf0.001 events,
+    via the engine's Catalyst fold path."""
+    return q_fold_monthly(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tier_raw_dedup": q_tier_raw_dedup,
+        "tier_10d_interp": q_tier_10d_interp,
+        "locf_3d": q_locf_3d,
+        "fold_monthly": q_fold_monthly,
+        "fold_seasonal": q_fold_seasonal,
+        "stm_user": q_stm_user,
+        "trend_user": q_trend_user,
+        "moving_avg_10d": q_moving_avg_10d,
+        "asof_purchase": q_asof_purchase,
+        "harmonic_user": q_harmonic_user,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash16": q_simhash16,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "fixed_windows": q_fixed_windows,
+        "cascade_monthly": q_cascade_monthly,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# shared SQL fragments -------------------------------------------------------
+
+_WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_WH60 = "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)"
+_WH28 = "CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)"
+_M31 = 2_147_483_647
+_MH_PARAMS = [(3, 38), (5, 131), (7, 286), (9, 503)]  # _minhash_params(4)
+
+_STOP_EN = "('the','and','of','to','a','in','is','that','it','for')"
+_STOP_DE = "('der','die','das','und','ist','von','zu','den','mit','nicht')"
+_STOP_FR = "('le','la','les','et','de','un','une','est','que','pour')"
+_STOP_ES = "('el','la','los','las','y','de','que','es','un','en')"
+
+
+def _interp_sql(step: int, value_expr: str) -> str:
+    return f"""
+    WITH series AS ({_SERIES_SQL}),
+    bounds AS (SELECT doc_id, min(day) AS lo, max(day) AS hi FROM series GROUP BY doc_id),
+    grid AS (SELECT doc_id, unnest(generate_series(lo, hi, {step})) AS day,
+                    CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM bounds),
+    unioned AS (
+        SELECT doc_id, day, value, 0 AS is_grid FROM series
+        UNION ALL SELECT doc_id, day, value, is_grid FROM grid),
+    filled AS (
+        SELECT doc_id, day, is_grid,
+            last_value(value IGNORE NULLS) OVER w_prev AS pv,
+            last_value(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+            first_value(value IGNORE NULLS) OVER w_next AS nv,
+            first_value(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+        FROM unioned
+        WINDOW
+          w_prev AS (PARTITION BY doc_id ORDER BY day, is_grid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY doc_id ORDER BY day, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT doc_id, day AS grid_day, {value_expr} AS value
+    FROM filled WHERE is_grid = 1
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(base, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    hits = {
+        "en": _STOP_EN, "de": _STOP_DE, "fr": _STOP_FR, "es": _STOP_ES,
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter(w, x -> x IN {sw})) AS hits_{lg}" for lg, sw in hits.items()
+    )
+    langs = list(hits)
+    arr = "[" + ", ".join(f"hits_{lg}" for lg in langs) + "]"
+    pred_cases = " ".join(
+        f"WHEN list_position({arr}, list_max({arr})) = {i} THEN '{lg}'"
+        for i, lg in enumerate(langs, start=1)
+    )
+    return {
+        "tier_raw_dedup": _SERIES_SQL,
+        "tier_10d_interp": _interp_sql(
+            10,
+            "round(CASE WHEN pd = day THEN pv "
+            "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv-pv)*(day-pd)/(nd-pd) "
+            "WHEN pv IS NOT NULL THEN pv ELSE nv END, 6)",
+        ),
+        "locf_3d": _interp_sql(3, "pv"),
+        "fold_monthly": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id,
+                   year(DATE '1970-01-01' + INTERVAL (day) DAY)*100
+                     + month(DATE '1970-01-01' + INTERVAL (day) DAY) AS bucket,
+                   round(avg(value), 6) AS value, count(value) AS n_obs
+            FROM series GROUP BY 1, 2
+        """,
+        "fold_seasonal": f"""
+            WITH series AS ({_SERIES_SQL}),
+            monthly AS (
+                SELECT doc_id,
+                       year(DATE '1970-01-01' + INTERVAL (day) DAY)*100
+                         + month(DATE '1970-01-01' + INTERVAL (day) DAY) AS bucket,
+                       avg(value) AS mv
+                FROM series GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(floor(bucket/100)*10 + floor((bucket%100 - 1)/3) + 1 AS BIGINT) AS bucket,
+                   round(avg(mv), 6) AS value, count(mv) AS n_obs
+            FROM monthly GROUP BY 1, 2
+        """,
+        "stm_user": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id,
+                round(min(value), 6) AS vmin,
+                round(quantile_cont(value, 0.25), 6) AS q25,
+                round(quantile_cont(value, 0.50), 6) AS q50,
+                round(quantile_cont(value, 0.75), 6) AS q75,
+                round(max(value), 6) AS vmax,
+                round(avg(value), 6) AS avg,
+                round(sqrt(avg(value*value) - avg(value)*avg(value)), 6) AS std,
+                round(max(value) - min(value), 6) AS rng,
+                round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr,
+                round((avg(value*value*value) - 3*avg(value)*avg(value*value) + 2*avg(value)*avg(value)*avg(value))
+                      / pow(avg(value*value) - avg(value)*avg(value), 1.5), 6) AS skw,
+                round((avg(value*value*value*value) - 4*avg(value)*avg(value*value*value)
+                       + 6*avg(value)*avg(value)*avg(value*value) - 3*pow(avg(value), 4))
+                      / pow(avg(value*value) - avg(value)*avg(value), 2) - 3, 6) AS krt,
+                count(value) AS num
+            FROM series GROUP BY doc_id
+        """,
+        "trend_user": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id,
+                   round({_TREND_SLOPE}, 8) AS slope,
+                   round(avg(value) - {_TREND_SLOPE}*avg(day), 5) AS intercept,
+                   round(pow(avg(day*value) - avg(day)*avg(value), 2)
+                         / ((avg(day*day) - avg(day)*avg(day)) * (avg(value*value) - avg(value)*avg(value))), 8) AS r2,
+                   CAST(count(value) AS BIGINT) AS n
+            FROM series GROUP BY doc_id
+        """,
+        "moving_avg_10d": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id, day,
+                   round(avg(value) OVER w, 6) AS smoothed,
+                   count(value) OVER w AS n_win
+            FROM series
+            WINDOW w AS (PARTITION BY doc_id ORDER BY day
+                         RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+        """,
+        "asof_purchase": """
+            SELECT event_id, user_id AS doc_id, event_type,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+            FROM events
+        """,
+        "harmonic_user": f"""
+            WITH series AS ({_SERIES_SQL}),
+            {_HARM_CTE}
+            SELECT doc_id,
+                   round({_HARM_A0} / {_HARM_DET}, 5) AS a0,
+                   round({_HARM_A1} / {_HARM_DET}, 5) AS a1,
+                   round({_HARM_B1} / {_HARM_DET}, 5) AS b1,
+                   n
+            FROM sums
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, r_name,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rn
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS content_key, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+                   round(length(text) / len(w), 6) AS chars_per_token
+            FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   round(list_aggregate(list_transform(w, x -> length(x)), 'sum') * 1.0 / len(w), 6) AS mean_word_len,
+                   round(len(list_filter(w, x -> x IN {_STOP_EN})) * 1.0 / len(w), 6) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text), 6) AS upper_ratio
+            FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN list_max({arr}) = 0 THEN 'unknown' {pred_cases} END AS pred_lang,
+                   hits_en, hits_de, hits_fr, hits_es
+            FROM (SELECT doc_id, lang, {hit_cols}
+                  FROM (SELECT doc_id, lang, {_WORDS} AS w FROM documents))
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   reduce(list_transform(w, x -> {_WH60}), (a, b) -> xor(a, b)) AS fingerprint,
+                   len(w) AS n_tokens
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        """,
+        "minhash_sigs": f"""
+            SELECT doc_id, {mh_exprs}
+            FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base
+                  FROM documents)
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sig AS (
+                SELECT doc_id, {mh_exprs}
+                FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base
+                      FROM documents)),
+            banded AS (
+                SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bh FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bh FROM sig)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band, bh)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash16": f"""
+            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+            FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base
+                  FROM documents)
+        """,
+        "ngram_jaccard": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(generate_series(1, len(w)-2),
+                                                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                   FROM w WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM inv a JOIN inv b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qvec)
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(q.qvec, q.qvec))) AS cs
+                FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+                SELECT query_id, vec_id, cs,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+                FROM scored)
+            WHERE rank <= 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id, label,
+                   round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "fixed_windows": f"""
+            SELECT doc_id,
+                   array_to_string((list_transform(w, x -> length(x))
+                                    || list_transform(generate_series(1, greatest(0, 64 - len(w))), i -> 0))[1:64],
+                                   ',') AS window_str,
+                   least(len(w), 64) AS valid_len
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        """,
+    }

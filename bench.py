@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Runs (a) the flagship tier cascade (raw->10d->monthly->seasonal) over a
+deterministic synthetic sequences table sized to the scale factor, measuring
+rollup throughput in tokens/sec, and (b) the headline queries from
+__spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "tokens_per_sec": ...}
+
+Scaling evidence (north rule): SPARK_GRAFT_SCALING=1 re-runs the cascade at
+local[8] and local[32] in fresh JVMs and reports efficiency = T32/(4*T8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# docs sized so the cascade dominates: sf0.1 (~600k lineitem) -> 100k docs
+_SF_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+
+
+def n_docs_for(sf_dir: str) -> int:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return _SF_DOCS.get(tag, 20_000)
+
+
+def run_cascade(cores: str, n_docs: int, workdir: str) -> dict:
+    """Cascade benchmark in THIS process. Returns timing dict."""
+    from sits_classification_spark.datagen import write_sequences
+    from sits_classification_spark.plans.cascade import build_cascade
+    from sits_classification_spark.session import get_spark
+
+    spark = get_spark(app="bench_cascade", cores=cores)
+    inp = os.path.join(workdir, "sequences")
+    out = os.path.join(workdir, "tiers")
+    t0 = time.time()
+    write_sequences(spark, inp, n_docs)
+    gen_sec = time.time() - t0
+    t0 = time.time()
+    res = build_cascade(spark, inp, out, compress=True)
+    cascade_sec = time.time() - t0
+    return {
+        "gen_sec": round(gen_sec, 3),
+        "cascade_sec": round(cascade_sec, 3),
+        "tokens": res.tokens_processed,
+        "tokens_per_sec": round(res.tokens_processed / cascade_sec, 1),
+    }
+
+
+HEADLINE = [
+    "tier_raw_dedup",
+    "tier_10d_interp",
+    "fold_monthly",
+    "fold_seasonal",
+    "stm_user",
+    "trend_user",
+    "moving_avg_10d",
+    "asof_purchase",
+    "pricing_summary",
+    "revenue_by_nation",
+    "doc_exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "ngram_jaccard",
+    "cosine_topk",
+    "doc_quality",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    return times
+
+
+def scaling_run(n_docs: int) -> dict:
+    """Run the cascade at local[8] and local[32] in fresh subprocesses."""
+    script = os.path.join(REPO, "bench.py")
+    results = {}
+    for cores in ("8", "32"):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+        env["SPARK_GRAFT_CPUS"] = cores
+        env["SPARK_GRAFT_NDOCS"] = str(n_docs)
+        out = subprocess.run(
+            [sys.executable, script],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8 = results["8"]["tokens_per_sec"]
+    t32 = results["32"]["tokens_per_sec"]
+    return {
+        "local8_tokens_per_sec": t8,
+        "local32_tokens_per_sec": t32,
+        "scaling_efficiency": round(t32 / (4.0 * t8), 3),
+    }
+
+
+def main():
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        # child mode: cascade only, one JSON line
+        workdir = f"/tmp/bench_child_{os.environ['SPARK_GRAFT_CPUS']}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        r = run_cascade(
+            os.environ["SPARK_GRAFT_CPUS"],
+            int(os.environ["SPARK_GRAFT_NDOCS"]),
+            workdir,
+        )
+        print(json.dumps(r))
+        return
+
+    from sits_classification_spark.session import get_spark
+
+    n_docs = n_docs_for(SF_DIR)
+    workdir = "/tmp/bench_main"
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    t_all = time.time()
+    cascade = run_cascade(CPUS, n_docs, workdir)
+    spark = get_spark(app="bench_queries", cores=CPUS)
+    qt = run_queries(spark, SF_DIR)
+    total = time.time() - t_all
+
+    queries = {"cascade": cascade["cascade_sec"], **qt}
+    out = {
+        "metric": "rollup throughput (tokens/sec) raw->10d->monthly->seasonal + headline query latencies",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "n_docs": n_docs,
+        "tokens": cascade["tokens"],
+        "tokens_per_sec": cascade["tokens_per_sec"],
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        out["scaling"] = scaling_run(n_docs)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

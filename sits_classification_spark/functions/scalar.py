@@ -1,0 +1,109 @@
+"""C1-C7 — scalar function library (pure Column expressions).
+
+Spectral index arithmetic (C1, menu at ``force/skel/TSA.prm:171-183``;
+DSWI at ``force/skel/udf_block.py:52``), scale/round codecs (C2,
+``udf_block.py:54``), normalizations (C3, ``config_hyperparameter.py:13-14``,
+``pytorch/utils/Dataset.py:218-226``), date codecs (C4,
+``udf_block.py:11-14``, ``pytorch/predict.py:400-415``), `doy mod 365` (C5),
+argmax (C6, ``pytorch/predict.py:527-528``), string parsing (C7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EPOCH = "1970-01-01"
+
+
+# --- C1 spectral indices ----------------------------------------------------
+
+def ndvi(nir: Column, red: Column) -> Column:
+    return (nir - red) / (nir + red)
+
+
+def dswi(bnir: Column, green: Column, swir1: Column, red: Column) -> Column:
+    """(BNIR+GREEN)/(SWIR1+RED) — udf_block.py:52."""
+    return (bnir + green) / (swir1 + red)
+
+
+def evi(nir: Column, red: Column, blue: Column) -> Column:
+    return 2.5 * (nir - red) / (nir + 6.0 * red - 7.5 * blue + 1.0)
+
+
+def nbr(nir: Column, swir2: Column) -> Column:
+    return (nir - swir2) / (nir + swir2)
+
+
+def ndwi(green: Column, nir: Column) -> Column:
+    return (green - nir) / (green + nir)
+
+
+# --- C2/C3 scaling ------------------------------------------------------------
+
+def scale_int16(v: Column, factor: int = 1000) -> Column:
+    """round(v*factor) cast to smallint — udf_block.py:54."""
+    return F.round(v * factor).cast("smallint")
+
+
+def feature_norm(v: Column) -> Column:
+    """x * 1e-4 reflectance normalization (config_hyperparameter.py:13)."""
+    return v * F.lit(1e-4)
+
+
+def log_response(v: Column) -> Column:
+    """log10(x+1) response scaling (Dataset.py:218-226)."""
+    return F.log10(v + 1)
+
+
+def unlog_response(v: Column) -> Column:
+    """pow(10,x)-1 inverse (pytorch/predict.py:521-525)."""
+    return F.pow(F.lit(10.0), v) - 1
+
+
+# --- C4/C5 date codecs ---------------------------------------------------------
+
+def day_to_date(day: Column) -> Column:
+    return F.date_add(F.to_date(F.lit(EPOCH)), day.cast("int"))
+
+
+def date_to_day(date: Column) -> Column:
+    return F.datediff(date, F.to_date(F.lit(EPOCH)))
+
+
+def yyyymmdd_to_date(key: Column) -> Column:
+    return F.to_date(key.cast("string"), "yyyyMMdd")
+
+
+def date_to_yyyymmdd(date: Column) -> Column:
+    return F.date_format(date, "yyyyMMdd").cast("int")
+
+
+def doy_since_start(date: Column, start: Column) -> Column:
+    """W6: days since series start, 1-based (utils/class_run.py:172)."""
+    return F.datediff(date, start) + 1
+
+
+def doy_mod_365(doy: Column) -> Column:
+    return F.pmod(doy, F.lit(365))
+
+
+# --- C6 argmax ------------------------------------------------------------------
+
+def argmax(arr: Column) -> Column:
+    """0-based index of the max element (pytorch/predict.py:527-528)."""
+    return F.array_position(arr, F.array_max(arr)) - 1
+
+
+# --- C7 string parsing ------------------------------------------------------------
+
+def year_from_name(name: Column) -> Column:
+    return F.regexp_extract(name, r"(\d{4})", 1).cast("int")
+
+
+def tile_coords(tile: Column) -> Column:
+    """'X0012_Y0034' -> struct(x, y) (force_class_utils.py:253-255)."""
+    return F.struct(
+        F.regexp_extract(tile, r"X(\d+)", 1).cast("int").alias("x"),
+        F.regexp_extract(tile, r"Y(\d+)", 1).cast("int").alias("y"),
+    )

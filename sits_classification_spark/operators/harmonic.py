@@ -1,0 +1,178 @@
+"""W5 — harmonic fit + evaluate; W4 — RBF smoother; F2 — noise filter.
+
+The three genuinely non-relational per-series kernels — grouped pandas/Arrow
+UDFs with numpy math (no per-row Python), matching:
+
+- harmonic model a0 + sum_k a_k cos(2*pi*k*t/365.25) + b_k sin(...) (+ c*t),
+  k <= HARMONIC_MODES in 1..3, fitted by closed-form least squares — the
+  model at ``force/skel/dswi_harmonic_tsi.py:35-52,116-147`` (scipy
+  curve_fit there; the model is linear-in-params so lstsq is exact and
+  deterministic);
+- RBF smoother: multi-sigma Gaussian-weighted means combined by per-kernel
+  data density, ``force/skel/TSA.prm:229-245``;
+- noise filter: per-triplet linear interpolation residuals, iteratively drop
+  obs whose residual > ABOVE_NOISE * rmse, ``force/skel/TSA.prm:142-154``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+YEAR_DAYS = 365.25
+
+
+def harmonic_design(t: np.ndarray, modes: int, trend: bool) -> np.ndarray:
+    cols = [np.ones_like(t, dtype=np.float64)]
+    for k in range(1, modes + 1):
+        w = 2.0 * np.pi * k * t / YEAR_DAYS
+        cols.append(np.cos(w))
+        cols.append(np.sin(w))
+    if trend:
+        cols.append(t.astype(np.float64))
+    return np.column_stack(cols)
+
+
+def harmonic_fit_kernel(
+    days: np.ndarray, values: np.ndarray, modes: int, trend: bool
+) -> np.ndarray | None:
+    """Least-squares harmonic coefficients, or None if underdetermined."""
+    X = harmonic_design(days.astype(np.float64), modes, trend)
+    if days.size < X.shape[1]:
+        return None
+    coef, *_ = np.linalg.lstsq(X, values.astype(np.float64), rcond=None)
+    return coef
+
+
+def harmonic_fit(
+    long: DataFrame,
+    modes: int = 2,
+    trend: bool = False,
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-doc harmonic coefficients + in-sample RMSE (NRT residual base)."""
+    n_coef = 1 + 2 * modes + (1 if trend else 0)
+    schema = (
+        "doc_id string, source string, coef array<double>, rmse double, n int"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[value_col]).sort_values(day_col)
+        d = pdf[day_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        coef = harmonic_fit_kernel(d, v, modes, trend)
+        if coef is None:
+            return pd.DataFrame(
+                columns=["doc_id", "source", "coef", "rmse", "n"]
+            )
+        resid = v - harmonic_design(d, modes, trend) @ coef
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "source": [pdf["source"].iloc[0]],
+                "coef": [coef],
+                "rmse": [float(np.sqrt(np.mean(resid**2)))],
+                "n": [int(v.size)],
+            }
+        )
+
+    return long.groupBy("doc_id").applyInPandas(fit, schema=schema)
+
+
+def rbf_smooth(
+    long: DataFrame,
+    sigmas: tuple[int, ...] = (8, 16, 32),
+    cutoff: float = 0.95,
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """W4: multi-sigma Gaussian-kernel smoother, kernels truncated at
+    `cutoff` cumulative area, combined weighted by per-kernel data density
+    (TSA.prm:229-245). Evaluated at the observation days."""
+    schema = "doc_id string, source string, day int, value double, smoothed double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col).reset_index(drop=True)
+        d = pdf[day_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        est = np.zeros(d.size)
+        wsum = np.zeros(d.size)
+        for sigma in sigmas:
+            # truncate kernel where the Gaussian area reaches `cutoff`
+            max_r = sigma * np.sqrt(2) * _erfinv(cutoff)
+            dist = np.abs(d[:, None] - d[None, ok])
+            w = np.exp(-0.5 * (dist / sigma) ** 2)
+            w[dist > max_r] = 0.0
+            density = w.sum(axis=1)
+            num = w @ v[ok]
+            with np.errstate(invalid="ignore"):
+                k_est = num / density
+            k_w = density  # data-density weight per TSA.prm:243-245
+            good = density > 0
+            est[good] += k_est[good] * k_w[good]
+            wsum[good] += k_w[good]
+        with np.errstate(invalid="ignore"):
+            sm = np.where(wsum > 0, est / wsum, np.nan)
+        out = pdf[["doc_id", "source", day_col]].copy()
+        out["value"] = v
+        out["smoothed"] = sm
+        return out
+
+    return long.groupBy("doc_id").applyInPandas(smooth, schema=schema)
+
+
+def _erfinv(p: float) -> float:
+    """Inverse error function (Winitzki approximation — plenty for a kernel
+    truncation radius)."""
+    a = 0.147
+    ln = np.log(1 - p * p)
+    t1 = 2 / (np.pi * a) + ln / 2
+    return float(np.sign(p) * np.sqrt(np.sqrt(t1 * t1 - ln / a) - t1))
+
+
+def noise_filter(
+    long: DataFrame,
+    above_noise: float = 3.0,
+    max_iter: int = 10,
+    day_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """F2: iteratively drop observations whose deviation from the line
+    between their neighbors exceeds above_noise * rmse of all deviations
+    (TSA.prm:142-154). Adds boolean `kept`."""
+    schema = f"doc_id string, source string, {day_col} int, {value_col} double, kept boolean"
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col).reset_index(drop=True)
+        d = pdf[day_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(v)
+        for _ in range(max_iter):
+            idx = np.flatnonzero(keep)
+            if idx.size < 3:
+                break
+            dd, vv = d[idx], v[idx]
+            interp = vv[:-2] + (vv[2:] - vv[:-2]) * (
+                (dd[1:-1] - dd[:-2]) / (dd[2:] - dd[:-2])
+            )
+            resid = np.abs(vv[1:-1] - interp)
+            rmse = np.sqrt(np.mean(resid**2))
+            if rmse == 0:
+                break
+            bad = resid > above_noise * rmse
+            if not bad.any():
+                break
+            # drop the single worst offender per pass (stable fixpoint)
+            worst = idx[1:-1][np.argmax(resid * bad)]
+            keep[worst] = False
+        out = pdf[["doc_id", "source"]].copy()
+        out[day_col] = pdf[day_col]
+        out[value_col] = v
+        out["kept"] = keep
+        return out
+
+    return long.groupBy("doc_id").applyInPandas(screen, schema=schema)

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine additions beyond the reference (per the build contract): language-ID
+heuristic, quality scoring, token counting, document fingerprinting — all
+pure Column expressions over a `documents(doc_id, text, lang, source,
+n_chars)` table, designed so a DuckDB oracle can reproduce them exactly
+(shared md5-based hashing, shared whitespace tokenization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word -> 60-bit int via md5 hex; same expression exists in DuckDB:
+#   CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+def word_hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_hash28(col: Column) -> Column:
+    """28-bit variant — safe for (a*h+b) % p minhash math in int64."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def words(text_col: str = "text") -> Column:
+    """Shared tokenization: lowercase, split on whitespace runs, drop empties.
+    (C7-style string parsing; identical in DuckDB via string_split_regex.)"""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "de", "que", "es", "un", "en"),
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + distinct-token count + char-per-token."""
+    w = words(text_col)
+    return df.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        (F.length(text_col) / F.size(w)).alias("chars_per_token"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword ratio,
+    punctuation ratio, uppercase ratio — the usual pre-training screens."""
+    w = words(text_col)
+    n = F.size(w)
+    mean_wlen = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n
+    stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_m"),
+        n.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        (stop / n).alias("stopword_ratio"),
+        (punct / F.length(text_col)).alias("punct_ratio"),
+        (upper / F.length(text_col)).alias("upper_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free language ID heuristic: argmax of stopword hits per
+    language. Deterministic, SQL-expressible."""
+    w = words(text_col)
+
+    def in_set(sw):
+        return lambda x: x.isin(*sw)
+
+    hits = [
+        F.size(F.filter(w, in_set(sw))).alias(f"hits_{lg}")
+        for lg, sw in STOPWORDS.items()
+    ]
+    scored = df.select("doc_id", "lang", *hits)
+    langs = list(STOPWORDS)
+    arr = F.array(*[F.col(f"hits_{lg}") for lg in langs])
+    best = F.array_position(arr, F.array_max(arr))
+    pred = F.when(F.array_max(arr) == 0, F.lit("unknown"))
+    for i, lg in enumerate(langs, start=1):
+        pred = pred.when(best == i, F.lit(lg))
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"), *[f"hits_{lg}" for lg in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: order-independent 60-bit hash combination
+    (bit_xor of word hashes) + length — a cheap rolling-hash-style content id
+    usable for exact-content dedup across shards."""
+    w = words(text_col)
+    xor_hash = F.aggregate(
+        F.transform(w, word_hash60),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return df.select(
+        "doc_id",
+        xor_hash.alias("fingerprint"),
+        F.size(w).alias("n_tokens"),
+    )
