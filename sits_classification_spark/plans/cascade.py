@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from sits_classification_spark.config import DEFAULT_CONFIG, EngineConfig
 from sits_classification_spark import lineage as L
 from sits_classification_spark.sources.snapshots import snapshot_id
-from sits_classification_spark.compression.gorilla import encode_series
+from sits_classification_spark.compression.gorilla import (
+    encode_dod_batch,
+    encode_xor_batch,
+)
 
 TIER_SCHEMA = (
     "doc_id string, source string, salt int, buckets array<int>, "
@@ -97,27 +100,32 @@ def month_to_quarter_bucket(month_bucket: np.ndarray) -> np.ndarray:
 # mapInPandas stages
 # ---------------------------------------------------------------------------
 
-def _emit(doc_id, source, salt, buckets: np.ndarray, values: np.ndarray, compress: bool):
+def _emit(doc_id, source, salt, buckets: np.ndarray, values: np.ndarray):
     tokens = np.round(values).astype(np.int32)
-    if compress:
-        eb, ev = encode_series(buckets.astype(np.int64), values)
-    else:
-        eb, ev = None, None
     return (
         doc_id, source, int(salt),
         buckets.astype(np.int32), values.astype(np.float64),
-        tokens, int(tokens.size), eb, ev,
+        tokens, int(tokens.size),
     )
 
 
-def _to_pdf(rows) -> pd.DataFrame:
-    return pd.DataFrame(
+def _to_pdf(rows, compress: bool) -> pd.DataFrame:
+    pdf = pd.DataFrame(
         rows,
         columns=[
-            "doc_id", "source", "salt", "buckets", "values",
-            "tokens", "n_tok", "enc_buckets", "enc_values",
+            "doc_id", "source", "salt", "buckets", "values", "tokens", "n_tok",
         ],
     )
+    if compress and len(pdf):
+        # batch-vectorized codecs: ONE numpy packing pass per Arrow batch
+        pdf["enc_buckets"] = encode_dod_batch(
+            [np.asarray(b, dtype=np.int64) for b in pdf["buckets"]]
+        )
+        pdf["enc_values"] = encode_xor_batch(list(pdf["values"]))
+    else:
+        pdf["enc_buckets"] = None
+        pdf["enc_values"] = None
+    return pdf
 
 
 def stage_raw(seq_df: DataFrame, cfg: EngineConfig, compress: bool = True) -> DataFrame:
@@ -134,8 +142,8 @@ def stage_raw(seq_df: DataFrame, cfg: EngineConfig, compress: bool = True) -> Da
                 if r is None:
                     continue
                 days, vals = r
-                rows.append(_emit(doc_id, source, salt, days, vals, compress))
-            yield _to_pdf(rows)
+                rows.append(_emit(doc_id, source, salt, days, vals))
+            yield _to_pdf(rows, compress)
 
     return seq_df.mapInPandas(run, schema=TIER_SCHEMA)
 
@@ -158,9 +166,12 @@ def stage_10d(raw_df: DataFrame, cfg: EngineConfig, compress: bool = True) -> Da
                 # reference, whose doy axis starts at the first written obs
                 # (utils/class_run.py:161-175 writes only valid rows).
                 grid, gv = grid_kernel(days, days, vv, cfg)
-                rows.append(_emit(doc_id, source, salt, grid, gv, compress))
-            yield _to_pdf(rows)
+                rows.append(_emit(doc_id, source, salt, grid, gv))
+            yield _to_pdf(rows, compress)
 
+    # prune: the kernel needs only ids + arrays; never drag the encoded
+    # binary columns of the upstream tier through Arrow
+    raw_df = raw_df.select("doc_id", "source", "salt", "buckets", "values", "n_tok")
     return raw_df.mapInPandas(run, schema=TIER_SCHEMA)
 
 
@@ -183,9 +194,10 @@ def stage_fold(tier_df: DataFrame, which: str, cfg: EngineConfig, compress: bool
                 else:
                     nb = month_to_quarter_bucket(b)
                 ub, uv = fold_avg_kernel(nb, v)
-                rows.append(_emit(doc_id, source, salt, ub, uv, compress))
-            yield _to_pdf(rows)
+                rows.append(_emit(doc_id, source, salt, ub, uv))
+            yield _to_pdf(rows, compress)
 
+    tier_df = tier_df.select("doc_id", "source", "salt", "buckets", "values")
     return tier_df.mapInPandas(run, schema=TIER_SCHEMA)
 
 
@@ -254,11 +266,16 @@ def build_cascade(
             out.write.mode("append").partitionBy("source").parquet(path)
         else:
             out.write.mode("overwrite").partitionBy("source").parquet(path)
+        # lineage from the MATERIALIZED tier (never from `out`, which would
+        # recompute the whole mapInPandas stage a second time)
         tier_df = spark.read.parquet(path)
+        new_part = (
+            tier_df
+            if keys is None
+            else tier_df.join(F.broadcast(keys), ["source", "salt"], "left_anti")
+        )
         new_rows = L.lineage_rows(
-            out if keys is None else spark.read.parquet(path).join(
-                F.broadcast(keys), ["source", "salt"], "left_anti"
-            ),
+            new_part,
             tier,
             snap,
             ["doc_id", "n_tok", "cast(tokens as string)"],

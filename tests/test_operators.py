@@ -1,0 +1,302 @@
+"""Operator unit tests: Catalyst-expression implementations vs their
+pandas-UDF twins vs pure-pandas oracles (SURVEY.md §5 test plan)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sits_classification_spark.operators.asof import (
+    asof_join_cogroup,
+    asof_lookup_window,
+)
+from sits_classification_spark.operators.decode import (
+    decode_sequences,
+    dedup_first_per_day,
+    drop_empty_and_singleton,
+)
+from sits_classification_spark.operators.gapfill import gapfill_expr, gapfill_pandas
+from sits_classification_spark.operators.resample import resample_expr, resample_pandas
+from sits_classification_spark.operators.folds import fold_by_period, pack_tokens
+from sits_classification_spark.operators.harmonic import (
+    harmonic_design,
+    harmonic_fit,
+    noise_filter,
+)
+from sits_classification_spark.operators.stm import moving_average, standardize, stm, trend
+from sits_classification_spark.operators.windows import fixed_length_windows
+
+
+@pytest.fixture(scope="module")
+def long_df(spark):
+    """Irregular series with interior/leading/trailing gaps."""
+    rows = []
+    rng = np.random.default_rng(7)
+    for d in range(20):
+        days = np.sort(rng.choice(200, size=30, replace=False))
+        vals = rng.integers(0, 1000, size=30).astype(float)
+        mask = rng.random(30) < 0.25
+        vals[mask] = np.nan
+        for day, v in zip(days, vals):
+            rows.append((f"d{d:03d}", "s0", int(day), None if np.isnan(v) else float(v)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "day", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_gapfill_expr_matches_pandas_udf(spark, long_df):
+    df, _ = long_df
+    for mode in ("LINEAR", "LOCF", "NOCB"):
+        a = (
+            gapfill_expr(df, mode)
+            .orderBy("doc_id", "day")
+            .select("doc_id", "day", "filled")
+            .toPandas()
+        )
+        b = (
+            gapfill_pandas(df, mode)
+            .orderBy("doc_id", "day")
+            .select("doc_id", "day", "filled")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
+
+
+def test_gapfill_linear_matches_reference_interpolate(spark, long_df):
+    """The engine op == the literal reference op (class_run.py:193-194)."""
+    df, pdf = long_df
+    got = gapfill_expr(df, "LINEAR").orderBy("doc_id", "day").toPandas()
+    for doc, g in pdf.groupby("doc_id"):
+        g = g.sort_values("day")
+        s = pd.Series(g["value"].to_numpy(), index=g["day"].to_numpy(), dtype="float64")
+        want = s.interpolate(method="index", limit_direction="both").to_numpy()
+        have = got[got.doc_id == doc]["filled"].to_numpy()
+        np.testing.assert_allclose(have, want, rtol=1e-12)
+
+
+def test_gapfill_idempotent_on_complete_series(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 5,
+            "source": ["s"] * 5,
+            "day": [0, 3, 6, 9, 12],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = gapfill_expr(df, "LINEAR").orderBy("day").toPandas()
+    np.testing.assert_array_equal(out["filled"], pdf["value"])
+
+
+def test_resample_expr_matches_pandas_and_npinterp(spark, long_df):
+    df, pdf = long_df
+    a = (
+        resample_expr(df, int_day=10)
+        .orderBy("doc_id", "grid_day")
+        .toPandas()
+    )
+    b = (
+        resample_pandas(df, int_day=10)
+        .orderBy("doc_id", "grid_day")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True),
+        b.reset_index(drop=True),
+        check_exact=False,
+        rtol=1e-12,
+        check_dtype=False,
+    )
+    # oracle: np.interp per doc
+    for doc, g in pdf.groupby("doc_id"):
+        g = g.sort_values("day")
+        valid = g.dropna(subset=["value"])
+        grid = np.arange(g["day"].min(), g["day"].max() + 1, 10)
+        want = np.interp(grid, valid["day"], valid["value"])
+        have = a[a.doc_id == doc]["value"].to_numpy()
+        np.testing.assert_allclose(have, want, rtol=1e-12)
+
+
+def test_fold_constant_series_is_constant(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 40,
+            "source": ["s"] * 40,
+            "grid_day": np.arange(19700, 19700 + 400, 10),
+            "value": [7.0] * 40,
+        }
+    )
+    out = fold_by_period(spark.createDataFrame(pdf), "month").toPandas()
+    assert (out["value"] == 7.0).all()
+
+
+def test_fold_stats_against_numpy(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 25, 200)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 200,
+            "source": ["s"] * 200,
+            "grid_day": np.arange(200),
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for stat, want in [
+        ("AVG", vals.mean()),
+        ("MIN", vals.min()),
+        ("MAX", vals.max()),
+        ("STD", vals.std()),  # population, ddof=0
+        ("RNG", vals.max() - vals.min()),
+        ("NUM", 200.0),
+        ("Q50", np.percentile(vals, 50)),
+        ("IQR", np.percentile(vals, 75) - np.percentile(vals, 25)),
+    ]:
+        got = (
+            fold_by_period(df, "year", stat=stat).toPandas()["value"].iloc[0]
+        )
+        assert got == pytest.approx(want, rel=1e-9), stat
+    # skew/kurtosis vs scipy-free formulas
+    m = vals.mean()
+    m2 = ((vals - m) ** 2).mean()
+    skw = ((vals - m) ** 3).mean() / m2**1.5
+    krt = ((vals - m) ** 4).mean() / m2**2 - 3
+    got_s = fold_by_period(df, "year", stat="SKW").toPandas()["value"].iloc[0]
+    got_k = fold_by_period(df, "year", stat="KRT").toPandas()["value"].iloc[0]
+    assert got_s == pytest.approx(skw, rel=1e-6)
+    assert got_k == pytest.approx(krt, rel=1e-6)
+
+
+def test_pack_tokens_sorted_by_bucket(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "a"],
+            "source": ["s"] * 3,
+            "bucket": [3, 1, 2],
+            "value": [30.4, 10.6, 20.5],
+        }
+    )
+    out = pack_tokens(spark.createDataFrame(pdf)).toPandas()
+    assert list(out["tokens"][0]) == [11, 21, 30]  # HALF_UP, bucket order
+    assert out["n_tok"][0] == 3
+
+
+def test_decode_and_screens(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "tokens": [[10, -9999, 30], [-9999, -9999, -9999], [5, -9999, -9999]],
+            "n_tok": [3, 3, 3],
+            "source": ["s"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    long = decode_sequences(df)
+    assert long.count() == 9
+    assert long.filter(F.col("value").isNull()).count() == 6
+    kept = drop_empty_and_singleton(long)
+    assert set(r["doc_id"] for r in kept.select("doc_id").distinct().collect()) == {"a"}
+
+
+def test_dedup_first_per_day(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 4,
+            "source": ["s"] * 4,
+            "pos": [0, 1, 2, 3],
+            "day": [5, 5, 5, 8],
+            "value": [1, 2, 3, 4],
+        }
+    )
+    out = dedup_first_per_day(spark.createDataFrame(pdf)).orderBy("day").toPandas()
+    assert list(out["value"]) == [1, 4]
+
+
+def test_stm_trend_standardize(spark, long_df):
+    df, pdf = long_df
+    s = stm(df).toPandas()
+    assert {"min", "q50", "avg", "std", "num"} <= set(s.columns)
+    t = trend(df).toPandas()
+    assert {"slope", "intercept", "r2", "t_stat"} <= set(t.columns)
+    z = standardize(df.dropna(), mode="NORMALIZE").toPandas()
+    g = z.groupby("doc_id")["standardized"]
+    np.testing.assert_allclose(g.mean(), 0, atol=1e-9)
+
+
+def test_moving_average_range_window(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 5,
+            "source": ["s"] * 5,
+            "day": [0, 5, 10, 40, 45],
+            "value": [10.0, 20.0, 30.0, 100.0, 200.0],
+        }
+    )
+    out = moving_average(spark.createDataFrame(pdf), radius_days=10).orderBy("day").toPandas()
+    np.testing.assert_allclose(out["smoothed"], [20.0, 20.0, 20.0, 150.0, 150.0])
+
+
+def test_asof_window_vs_cogroup(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"key": ["k"] * 4, "t": [1, 5, 9, 20], "x": [1.0, 2.0, 3.0, 4.0]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"key": ["k"] * 3, "t": [0, 6, 15], "r": [100.0, 200.0, 300.0]})
+    )
+    a = (
+        asof_lookup_window(left, right, "key", "t", "r")
+        .orderBy("t")
+        .toPandas()["asof_value"]
+        .tolist()
+    )
+    b = (
+        asof_join_cogroup(left, right, "key", "t", "r")
+        .orderBy("t")
+        .toPandas()["asof_value"]
+        .tolist()
+    )
+    assert a == b == [100.0, 100.0, 200.0, 300.0]
+
+
+def test_harmonic_fit_recovers_signal(spark):
+    days = np.arange(0, 730, 5)
+    vals = 50 + 20 * np.cos(2 * np.pi * days / 365.25) - 7 * np.sin(
+        2 * np.pi * days / 365.25
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": "a", "source": "s", "day": days, "value": vals}
+    )
+    out = harmonic_fit(spark.createDataFrame(pdf), modes=1).toPandas()
+    coef = np.asarray(out["coef"][0])
+    np.testing.assert_allclose(coef, [50.0, 20.0, -7.0], atol=1e-8)
+    assert out["rmse"][0] < 1e-9
+
+
+def test_noise_filter_drops_outlier(spark):
+    days = np.arange(0, 100, 5)
+    vals = days * 2.0
+    vals[10] += 500.0  # outlier
+    pdf = pd.DataFrame({"doc_id": "a", "source": "s", "day": days, "value": vals})
+    out = noise_filter(spark.createDataFrame(pdf)).toPandas()
+    dropped = out[~out["kept"]]
+    assert list(dropped["day"]) == [50]
+
+
+def test_fixed_length_windows(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "tokens": [[1, 0, 2, 0, 3], list(range(1, 10))],
+            "n_tok": [5, 9],
+            "source": ["s", "s"],
+        }
+    )
+    out = (
+        fixed_length_windows(spark.createDataFrame(pdf), length=6)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out["window"][0]) == [1, 2, 3, 0, 0, 0]  # compacted + padded
+    assert list(out["window"][1]) == [1, 2, 3, 4, 5, 6]  # truncated
+    assert list(out["valid_len"]) == [3, 6]
