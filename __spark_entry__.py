@@ -422,9 +422,11 @@ def q_simhash16(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """3-gram Jaccard similarity pairs (inverted-index join)."""
+    """3-gram Jaccard near-dup pairs (inverted-index join with stop-shingle
+    pruning — shingles in >100 docs are dropped, the skew guard that keeps
+    the self-join linear at scale)."""
     d = _read(spark, sf, "documents")
-    out = ngram_jaccard_pairs(d, n=3, threshold=0.0, max_shingle_df=10**6)
+    out = ngram_jaccard_pairs(d, n=3, threshold=0.04, max_shingle_df=100)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -833,16 +835,21 @@ def oracle_sql() -> dict[str, str]:
                                                        i -> array_to_string(w[i:i+2], ' '))) AS shingles
                    FROM w WHERE len(w) >= 3),
             sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-            inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            keep AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100),
+            inv AS (SELECT doc_id, s FROM inv0 WHERE s IN (SELECT s FROM keep)),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                 FROM inv a JOIN inv b USING (s)
                 WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                       round(i / (sa.sz + sb.sz - i), 6) AS jaccard,
+                       i / (sa.sz + sb.sz - i) AS raw_j
+                FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id)
+            WHERE raw_j >= 0.04
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id,
