@@ -286,6 +286,58 @@ def q_harmonic_user(spark, sf):
     )
 
 
+
+
+def q_qai_screen(spark, sf):
+    """F1 QAI bitmask screening (TSA.prm:135-141): synthetic quality flags
+    derived from event_id; drop rows whose bits intersect
+    {CLOUD_OPAQUE, CLOUD_SHADOW, SNOW} (mask 0b110010 = 50)."""
+    ev = _read(spark, sf, "events")
+    flags = F.pmod(F.col("event_id"), F.lit(256))
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    return (
+        ev.withColumn("qai", flags)
+        .filter(F.col("qai").bitwiseAND(F.lit(50)) == 0)
+        .select(
+            "event_id",
+            F.col("user_id").alias("doc_id"),
+            day.cast("long").alias("day"),
+            "qai",
+            "value",
+        )
+    )
+
+
+def q_doy_window(spark, sf):
+    """F4 DOY-range filter with wrap-around (TSA.prm:162-169): keep DOY in
+    [350, 15] across the year boundary."""
+    ev = _read(spark, sf, "events")
+    doy = F.dayofyear(F.to_date("ts"))
+    return (
+        ev.withColumn("doy", doy.cast("long"))
+        .filter((F.col("doy") >= 350) | (F.col("doy") <= 15))
+        .select("event_id", F.col("user_id").alias("doc_id"), "doy")
+    )
+
+
+def q_cat_change(spark, sf):
+    """A4 CAT analysis (TSA.prm:344-353): greatest day-over-day change +
+    trend slopes before/after the change point, per series."""
+    from sits_classification_spark.operators.cat import cat_analysis
+
+    s = _series(spark, sf)
+    out = cat_analysis(s, bucket_col="day", value_col="value", keys=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.round("change", 6).alias("change"),
+        "change_bucket",
+        F.round("slope_full", 8).alias("slope_full"),
+        F.round("slope_before", 8).alias("slope_before"),
+        F.round("slope_after", 8).alias("slope_after"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish queries
 # ---------------------------------------------------------------------------
@@ -576,6 +628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_10d": q_moving_avg_10d,
         "asof_purchase": q_asof_purchase,
         "harmonic_user": q_harmonic_user,
+        "qai_screen": q_qai_screen,
+        "doy_window": q_doy_window,
+        "cat_change": q_cat_change,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -743,6 +798,39 @@ def oracle_sql() -> dict[str, str]:
                    round({_HARM_B1} / {_HARM_DET}, 5) AS b1,
                    n
             FROM sums
+        """,
+        "qai_screen": """
+            SELECT event_id, user_id AS doc_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                   event_id % 256 AS qai, value
+            FROM events WHERE (event_id % 256) & 50 = 0
+        """,
+        "doy_window": """
+            SELECT event_id, user_id AS doc_id, CAST(dayofyear(CAST(ts AS DATE)) AS BIGINT) AS doy
+            FROM events
+            WHERE dayofyear(CAST(ts AS DATE)) >= 350 OR dayofyear(CAST(ts AS DATE)) <= 15
+        """,
+        "cat_change": f"""
+            WITH series AS ({_SERIES_SQL}),
+            d AS (SELECT doc_id, day, value,
+                         value - lag(value) OVER (PARTITION BY doc_id ORDER BY day) AS diff
+                  FROM series),
+            chg AS (SELECT doc_id,
+                           round(arg_max(diff, abs(diff)), 6) AS change,
+                           CAST(arg_max(day, abs(diff)) AS BIGINT) AS change_bucket
+                    FROM d WHERE diff IS NOT NULL GROUP BY doc_id),
+            sl AS (SELECT doc_id, round(regr_slope(value, day), 8) AS slope_full,
+                          count(value) AS n
+                   FROM series GROUP BY doc_id),
+            parts AS (
+                SELECT s.doc_id,
+                       round(regr_slope(CASE WHEN s.day < c.change_bucket THEN s.value END,
+                                        CASE WHEN s.day < c.change_bucket THEN s.day END), 8) AS slope_before,
+                       round(regr_slope(CASE WHEN s.day >= c.change_bucket THEN s.value END,
+                                        CASE WHEN s.day >= c.change_bucket THEN s.day END), 8) AS slope_after
+                FROM series s JOIN chg c USING (doc_id) GROUP BY s.doc_id)
+            SELECT doc_id, change, change_bucket, slope_full, slope_before, slope_after, n
+            FROM chg JOIN sl USING (doc_id) JOIN parts USING (doc_id)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -342,26 +342,55 @@ def _pack_bits_segments(
     return [buf[offs[i] : offs[i + 1]] for i in range(n_segs)]
 
 
-def encode_dod_batch(arrays: list[np.ndarray]) -> list[bytes]:
-    """Batch delta-of-delta encoder: bit-identical per-series output to
-    encode_dod, one vectorized packing pass for the whole batch."""
-    n_series = len(arrays)
-    lens = np.array([np.asarray(a).size for a in arrays], dtype=np.int64)
-    heads = []
-    for a, n in zip(arrays, lens):
-        a = np.asarray(a, dtype=np.int64)
-        h = struct.pack("<I", int(n))
-        if n >= 1:
-            h += struct.pack("<q", int(a[0]))
-        if n >= 2:
-            h += struct.pack("<q", int(a[1] - a[0]))
-        heads.append(h)
+def _dod_heads(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Per-series DoD headers (n, t0, d0) built from vectorized byte
+    buffers — Python only slices."""
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n = lens.size
+    nb = lens.astype("<u4").tobytes()
+    t0 = np.zeros(n, dtype="<i8")
+    has1 = lens >= 1
+    t0[has1] = flat[offsets[:-1][has1]]
+    t0b = t0.tobytes()
+    d0 = np.zeros(n, dtype="<i8")
+    has2 = lens >= 2
+    d0[has2] = flat[offsets[:-1][has2] + 1] - t0[has2]
+    d0b = d0.tobytes()
+    out = []
+    for i in range(n):
+        h = nb[4 * i : 4 * i + 4]
+        if lens[i] >= 1:
+            h += t0b[8 * i : 8 * i + 8]
+        if lens[i] >= 2:
+            h += d0b[8 * i : 8 * i + 8]
+        out.append(h)
+    return out
+
+
+def encode_dod_flat(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Flat-buffer batch DoD encoder: bit-identical per-series output to
+    encode_dod; all math on the concatenated values buffer."""
+    flat = np.asarray(flat, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    heads = _dod_heads(flat, offsets)
     active = lens >= 3
     if not active.any():
         return heads
-    dods_list = [np.diff(np.asarray(a, dtype=np.int64), n=2) for a, m in zip(arrays, active) if m]
-    dods = np.concatenate(dods_list)
-    seg_of_active = np.repeat(np.arange(int(active.sum())), lens[active] - 2)
+    # dod j (= flat[j+2]-2*flat[j+1]+flat[j]) is in-series iff all three
+    # positions share a series: drop the two positions before each boundary
+    d1 = flat[1:] - flat[:-1]
+    dods_all = d1[1:] - d1[:-1]
+    keep = np.ones(dods_all.size, dtype=bool)
+    inner = offsets[1:-1]
+    for shift in (1, 2):
+        idx = inner - shift
+        keep[idx[(idx >= 0) & (idx < keep.size)]] = False
+    dods = dods_all[keep]
+    seg_of_active = np.repeat(
+        np.arange(int(active.sum()), dtype=np.int64), (lens[active] - 2)
+    )
+    n_series = lens.size
     u = dods.astype(np.uint64)
     conds = [
         dods == 0,
@@ -401,28 +430,44 @@ def encode_dod_batch(arrays: list[np.ndarray]) -> list[bytes]:
     return out
 
 
-def encode_xor_batch(values_list: list[np.ndarray]) -> list[bytes]:
-    """Batch Gorilla XOR encoder ('0'/'11' scheme, same stream as
-    encode_xor), one vectorized packing pass for the whole batch."""
-    n_series = len(values_list)
-    arrs = [np.asarray(v, dtype=np.float64) for v in values_list]
-    lens = np.array([a.size for a in arrs], dtype=np.int64)
-    heads = []
-    for a, n in zip(arrs, lens):
-        h = struct.pack("<I", int(n))
-        if n >= 1:
-            h += struct.pack("<Q", int(a.view(np.uint64)[0]))
-        heads.append(h)
+def _xor_heads(bits: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n = lens.size
+    nb = lens.astype("<u4").tobytes()
+    b0 = np.zeros(n, dtype="<u8")
+    has1 = lens >= 1
+    b0[has1] = bits[offsets[:-1][has1]]
+    b0b = b0.tobytes()
+    out = []
+    for i in range(n):
+        h = nb[4 * i : 4 * i + 4]
+        if lens[i] >= 1:
+            h += b0b[8 * i : 8 * i + 8]
+        out.append(h)
+    return out
+
+
+def encode_xor_flat(flat: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """Flat-buffer batch Gorilla XOR encoder ('0'/'11' scheme, same stream
+    as encode_xor); all math on the concatenated values buffer."""
+    flat = np.asarray(flat, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    bits = flat.view(np.uint64)
+    lens = offsets[1:] - offsets[:-1]
+    n_series = lens.size
+    heads = _xor_heads(bits, offsets)
     active = lens >= 2
     if not active.any():
         return heads
-    xor_list = []
-    for a, m in zip(arrs, active):
-        if m:
-            b = a.view(np.uint64)
-            xor_list.append(b[1:] ^ b[:-1])
-    x = np.concatenate(xor_list)
-    seg_of_active = np.repeat(np.arange(int(active.sum())), lens[active] - 1)
+    x_all = bits[1:] ^ bits[:-1]
+    keep = np.ones(x_all.size, dtype=bool)
+    inner = offsets[1:-1]
+    idx = inner - 1
+    keep[idx[(idx >= 0) & (idx < keep.size)]] = False
+    x = x_all[keep]
+    seg_of_active = np.repeat(
+        np.arange(int(active.sum()), dtype=np.int64), lens[active] - 1
+    )
     nz = x != 0
     bl = _bit_length(x)
     lead = np.minimum(64 - bl, 31)
@@ -455,6 +500,29 @@ def encode_xor_batch(values_list: list[np.ndarray]) -> list[bytes]:
         else:
             out.append(heads[i])
     return out
+
+
+def _to_flat(arrays: list[np.ndarray], dtype) -> tuple[np.ndarray, np.ndarray]:
+    lens = np.array([np.asarray(a).size for a in arrays], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = (
+        np.concatenate([np.asarray(a, dtype=dtype) for a in arrays])
+        if arrays
+        else np.array([], dtype=dtype)
+    )
+    return flat, offsets
+
+
+def encode_dod_batch(arrays: list[np.ndarray]) -> list[bytes]:
+    """List-of-arrays convenience wrapper over encode_dod_flat."""
+    flat, offsets = _to_flat(arrays, np.int64)
+    return encode_dod_flat(flat, offsets)
+
+
+def encode_xor_batch(values_list: list[np.ndarray]) -> list[bytes]:
+    """List-of-arrays convenience wrapper over encode_xor_flat."""
+    flat, offsets = _to_flat(values_list, np.float64)
+    return encode_xor_flat(flat, offsets)
 
 
 def decode_series(enc_buckets: bytes, enc_values: bytes) -> tuple[np.ndarray, np.ndarray]:

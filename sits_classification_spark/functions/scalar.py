@@ -107,3 +107,14 @@ def tile_coords(tile: Column) -> Column:
         F.regexp_extract(tile, r"X(\d+)", 1).cast("int").alias("x"),
         F.regexp_extract(tile, r"Y(\d+)", 1).cast("int").alias("y"),
     )
+
+
+# --- W14 positional encodings (pytorch/models/transformer/Models.py:32-54) ---
+
+def positional_encoding(doy: Column, dim_idx: int, d_model: int = 128) -> Column:
+    """sin/cos positional encoding of a day-of-year position at channel
+    dim_idx: sin for even channels, cos for odd, denominators 10000^(2i/d)."""
+    angle = doy.cast("double") / F.pow(
+        F.lit(10000.0), F.lit(2 * (dim_idx // 2) / d_model)
+    )
+    return F.sin(angle) if dim_idx % 2 == 0 else F.cos(angle)

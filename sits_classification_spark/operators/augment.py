@@ -1,0 +1,109 @@
+"""W13 — seeded sequence augmentations for training-data generation.
+
+Reference: ``pytorch/utils/augmentation.py`` — per-year random scaling
+(:38-69), per-year DOY shift clamped to ±16d (:93-158), random zero-out
+(:212-249), random entry removal of 5-80% (:252-287), composition (:289-395).
+
+Engine form: deterministic per-doc randomness derived from
+``xxhash-style`` mixing of (doc index hash, salt) — every augmentation is a
+pure function of (doc_id, seed), so distributed re-execution (task retries,
+speculative execution) is reproducible, which torch-style global RNG state
+is not. Vectorized numpy inside mapInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from sits_classification_spark.datagen import _mix
+
+AUG_SCHEMA = (
+    "doc_id string, source string, tokens array<int>, n_tok int"
+)
+
+
+def _doc_rng(doc_id: str, seed: int) -> np.random.Generator:
+    h = int(_mix(np.uint64(abs(hash(doc_id)) & 0x7FFFFFFFFFFFFFFF))) ^ seed
+    return np.random.default_rng(h & 0xFFFFFFFF)
+
+
+def _apply(df: DataFrame, fn) -> DataFrame:
+    def run(batches):
+        for pdf in batches:
+            toks = [
+                fn(np.asarray(t, dtype=np.int64), d)
+                for t, d in zip(pdf["tokens"], pdf["doc_id"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "tokens": [t.astype(np.int32) for t in toks],
+                    "n_tok": np.array([t.size for t in toks], dtype=np.int32),
+                }
+            )
+
+    return df.select("doc_id", "source", "tokens").mapInPandas(run, schema=AUG_SCHEMA)
+
+
+def random_scale(df: DataFrame, lo: float = 0.9, hi: float = 1.1, seed: int = 1) -> DataFrame:
+    """Per-doc multiplicative scaling (augmentation.py:38-69 simplified to
+    one factor per doc; nodata positions untouched)."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        rng = _doc_rng(doc_id, seed)
+        f = rng.uniform(lo, hi)
+        out = t.copy()
+        m = out != -9999
+        out[m] = np.round(out[m] * f).astype(np.int64)
+        return out
+
+    return _apply(df, fn)
+
+
+def random_zero_out(df: DataFrame, frac: float = 0.1, seed: int = 2) -> DataFrame:
+    """Randomly zero out a fraction of valid positions
+    (augmentation.py:212-249)."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        rng = _doc_rng(doc_id, seed)
+        out = t.copy()
+        m = (out != -9999) & (rng.random(out.size) < frac)
+        out[m] = 0
+        return out
+
+    return _apply(df, fn)
+
+
+def random_removal(df: DataFrame, lo: float = 0.05, hi: float = 0.8, seed: int = 3) -> DataFrame:
+    """Remove a random 5-80% of entries (augmentation.py:252-287); keeps
+    at least 2."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        rng = _doc_rng(doc_id, seed)
+        frac = rng.uniform(lo, hi)
+        keep = rng.random(t.size) >= frac
+        if keep.sum() < 2:
+            keep[:2] = True
+        return t[keep]
+
+    return _apply(df, fn)
+
+
+def doy_shift(df: DataFrame, max_shift: int = 16, seed: int = 4) -> DataFrame:
+    """Shift the series by up to ±max_shift positions (clamped roll with
+    nodata fill — the token-stream analog of augmentation.py:93-158)."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        rng = _doc_rng(doc_id, seed)
+        s = int(rng.integers(-max_shift, max_shift + 1))
+        out = np.full_like(t, -9999)
+        if s >= 0:
+            out[s:] = t[: t.size - s]
+        else:
+            out[:s] = t[-s:]
+        return out
+
+    return _apply(df, fn)

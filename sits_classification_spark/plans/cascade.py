@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 from sits_classification_spark.config import DEFAULT_CONFIG, EngineConfig
 from sits_classification_spark import lineage as L
 from sits_classification_spark.sources.snapshots import snapshot_id
+import pyarrow as pa
+
 from sits_classification_spark.compression.gorilla import (
-    encode_dod_batch,
-    encode_xor_batch,
+    encode_dod_flat,
+    encode_xor_flat,
 )
+from sits_classification_spark.plans import flatkernels as FK
 
 TIER_SCHEMA = (
     "doc_id string, source string, salt int, buckets array<int>, "
@@ -97,108 +100,148 @@ def month_to_quarter_bucket(month_bucket: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# mapInPandas stages
+# mapInArrow stages: flat-buffer kernels straight on the Arrow list buffers
 # ---------------------------------------------------------------------------
 
-def _emit(doc_id, source, salt, buckets: np.ndarray, values: np.ndarray):
+ARROW_TIER_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("salt", pa.int32()),
+        ("buckets", pa.list_(pa.int32())),
+        ("values", pa.list_(pa.float64())),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("enc_buckets", pa.binary()),
+        ("enc_values", pa.binary()),
+    ]
+)
+
+
+
+def _one_table(batches) -> pa.Table | None:
+    """Concatenate a task's Arrow batches into one contiguous table: one
+    kernel + one codec pass per TASK, not per batch. Partition size is
+    bounded by spark.sql.files.maxPartitionBytes, so memory stays capped."""
+    bl = list(batches)
+    if not bl:
+        return None
+    return pa.Table.from_batches(bl).combine_chunks()
+
+
+def _list_buffers(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values, zero-based offsets) of an Arrow list column."""
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    lo, hi = offsets[0], offsets[-1]
+    return flat[lo:hi], offsets - lo
+
+
+def _tier_batch(
+    doc_id: pa.Array,
+    source: pa.Array,
+    salt: pa.Array,
+    offsets: np.ndarray,
+    buckets: np.ndarray,
+    values: np.ndarray,
+    compress: bool,
+) -> pa.RecordBatch:
+    """Assemble one output RecordBatch from flat buffers (zero per-row work
+    outside the optional codec byte assembly)."""
+    off32 = pa.array(offsets.astype(np.int32), type=pa.int32())
+    n = offsets.size - 1
     tokens = np.round(values).astype(np.int32)
-    return (
-        doc_id, source, int(salt),
-        buckets.astype(np.int32), values.astype(np.float64),
-        tokens, int(tokens.size),
-    )
-
-
-def _to_pdf(rows, compress: bool) -> pd.DataFrame:
-    pdf = pd.DataFrame(
-        rows,
-        columns=[
-            "doc_id", "source", "salt", "buckets", "values", "tokens", "n_tok",
-        ],
-    )
-    if compress and len(pdf):
-        # batch-vectorized codecs: ONE numpy packing pass per Arrow batch
-        pdf["enc_buckets"] = encode_dod_batch(
-            [np.asarray(b, dtype=np.int64) for b in pdf["buckets"]]
-        )
-        pdf["enc_values"] = encode_xor_batch(list(pdf["values"]))
+    if compress:
+        eb = pa.array(encode_dod_flat(buckets.astype(np.int64), offsets), type=pa.binary())
+        ev = pa.array(encode_xor_flat(values, offsets), type=pa.binary())
     else:
-        pdf["enc_buckets"] = None
-        pdf["enc_values"] = None
-    return pdf
+        eb = pa.nulls(n, type=pa.binary())
+        ev = pa.nulls(n, type=pa.binary())
+    arrays = [
+        doc_id,
+        source,
+        salt,
+        pa.ListArray.from_arrays(off32, pa.array(buckets.astype(np.int32), type=pa.int32())),
+        pa.ListArray.from_arrays(off32, pa.array(values, type=pa.float64())),
+        pa.ListArray.from_arrays(off32, pa.array(tokens, type=pa.int32())),
+        pa.array((offsets[1:] - offsets[:-1]).astype(np.int32), type=pa.int32()),
+        eb,
+        ev,
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=ARROW_TIER_SCHEMA)
 
 
 def stage_raw(seq_df: DataFrame, cfg: EngineConfig, compress: bool = True) -> DataFrame:
-    """sequences -> tier_raw nested rows (valid obs only, day-indexed)."""
+    """sequences -> tier_raw nested rows (valid obs only, day-indexed).
+
+    Pure flat-buffer math: decode + nodata screen + >=2-valid drop run on
+    the concatenated token buffer of each Arrow batch (FK.flat_decode)."""
 
     def run(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, toks, source, salt in zip(
-                pdf["doc_id"], pdf["tokens"], pdf["source"], pdf["salt"]
-            ):
-                toks = np.asarray(toks, dtype=np.int64)
-                r = raw_kernel(toks, cfg)
-                if r is None:
-                    continue
-                days, vals = r
-                rows.append(_emit(doc_id, source, salt, days, vals))
-            yield _to_pdf(rows, compress)
+        tbl = _one_table(batches)
+        if tbl is not None:
+            cols = {name: tbl.column(i).chunk(0) for i, name in enumerate(tbl.schema.names)}
+            flat, offsets = _list_buffers(cols["tokens"])
+            keep, new_off, days, vals, _n = FK.flat_decode(
+                flat.astype(np.int64), offsets, cfg.nodata, cfg.cadence_days, cfg.epoch_day
+            )
+            mask = pa.array(keep)
+            yield _tier_batch(
+                cols["doc_id"].filter(mask),
+                cols["source"].filter(mask),
+                cols["salt"].filter(mask),
+                new_off,
+                days,
+                vals,
+                compress,
+            )
 
-    return seq_df.mapInPandas(run, schema=TIER_SCHEMA)
+    seq_df = seq_df.select("doc_id", "source", "salt", "tokens")
+    return seq_df.mapInArrow(run, schema=TIER_SCHEMA)
 
 
 def stage_10d(raw_df: DataFrame, cfg: EngineConfig, compress: bool = True) -> DataFrame:
-    """tier_raw -> tier_10d: fused gap-fill + equidistant resample (W1+W2)."""
+    """tier_raw -> tier_10d: fused gap-fill + equidistant resample (W1+W2),
+    ONE np.interp call per Arrow batch (FK.flat_interp lift trick)."""
 
     def run(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, source, salt, bk, vals, n_tok in zip(
-                pdf["doc_id"], pdf["source"], pdf["salt"],
-                pdf["buckets"], pdf["values"], pdf["n_tok"],
-            ):
-                days = np.asarray(bk, dtype=np.int64)
-                vv = np.asarray(vals, dtype=np.float64)
-                # all_days span: raw tier stores valid obs; the doc's decode
-                # span start == first stored day only if pos0 was valid. The
-                # grid is anchored at the first *valid* obs — identical to the
-                # reference, whose doy axis starts at the first written obs
-                # (utils/class_run.py:161-175 writes only valid rows).
-                grid, gv = grid_kernel(days, days, vv, cfg)
-                rows.append(_emit(doc_id, source, salt, grid, gv))
-            yield _to_pdf(rows, compress)
+        tbl = _one_table(batches)
+        if tbl is not None:
+            cols = {name: tbl.column(i).chunk(0) for i, name in enumerate(tbl.schema.names)}
+            days, offsets = _list_buffers(cols["buckets"])
+            vals, _ = _list_buffers(cols["values"])
+            goff, gdays, gvals = FK.flat_interp(
+                days.astype(np.int64), vals, offsets, cfg.int_day
+            )
+            yield _tier_batch(
+                cols["doc_id"], cols["source"], cols["salt"], goff, gdays, gvals, compress
+            )
 
-    # prune: the kernel needs only ids + arrays; never drag the encoded
-    # binary columns of the upstream tier through Arrow
-    raw_df = raw_df.select("doc_id", "source", "salt", "buckets", "values", "n_tok")
-    return raw_df.mapInPandas(run, schema=TIER_SCHEMA)
+    raw_df = raw_df.select("doc_id", "source", "salt", "buckets", "values")
+    return raw_df.mapInArrow(run, schema=TIER_SCHEMA)
 
 
 def stage_fold(tier_df: DataFrame, which: str, cfg: EngineConfig, compress: bool = True) -> DataFrame:
     """tier_10d -> tier_monthly (bucket YYYYMM) or tier_monthly ->
-    tier_seasonal (bucket YYYYQ); FOLD_TYPE=AVG (TSA.prm:314-323)."""
+    tier_seasonal (bucket YYYYQ); FOLD_TYPE=AVG (TSA.prm:314-323).
+    Run-length reduceat over the whole batch (FK.flat_fold)."""
     if which not in ("monthly", "seasonal"):
         raise ValueError(which)
+    mapper = FK.day_to_month_bucket if which == "monthly" else FK.month_to_quarter_bucket
 
     def run(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, source, salt, bk, vals in zip(
-                pdf["doc_id"], pdf["source"], pdf["salt"], pdf["buckets"], pdf["values"]
-            ):
-                b = np.asarray(bk, dtype=np.int64)
-                v = np.asarray(vals, dtype=np.float64)
-                if which == "monthly":
-                    nb = _day_to_month_bucket(b)
-                else:
-                    nb = month_to_quarter_bucket(b)
-                ub, uv = fold_avg_kernel(nb, v)
-                rows.append(_emit(doc_id, source, salt, ub, uv))
-            yield _to_pdf(rows, compress)
+        tbl = _one_table(batches)
+        if tbl is not None:
+            cols = {name: tbl.column(i).chunk(0) for i, name in enumerate(tbl.schema.names)}
+            b, offsets = _list_buffers(cols["buckets"])
+            v, _ = _list_buffers(cols["values"])
+            noff, nb, nv = FK.flat_fold(b.astype(np.int64), v, offsets, mapper)
+            yield _tier_batch(
+                cols["doc_id"], cols["source"], cols["salt"], noff, nb, nv, compress
+            )
 
     tier_df = tier_df.select("doc_id", "source", "salt", "buckets", "values")
-    return tier_df.mapInPandas(run, schema=TIER_SCHEMA)
+    return tier_df.mapInArrow(run, schema=TIER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Tests for evaluation metrics, augmentations, and CSV sequence sources."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sits_classification_spark.datagen import generate_pandas
+from sits_classification_spark.operators.augment import (
+    doy_shift,
+    random_removal,
+    random_scale,
+    random_zero_out,
+)
+from sits_classification_spark.operators.metrics import (
+    class_histogram,
+    classification_report,
+    confusion_matrix,
+    overall_metrics,
+    regression_metrics,
+)
+from sits_classification_spark.sources.sequences_csv import (
+    BAND_ORDER,
+    read_sequence_csvs,
+    write_split_csvs,
+)
+
+
+@pytest.fixture(scope="module")
+def preds(spark):
+    pdf = pd.DataFrame(
+        {
+            "truth": [0, 0, 0, 1, 1, 2, 2, 2, 2, 2],
+            "pred": [0, 0, 1, 1, 1, 2, 2, 2, 0, 1],
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_class_histogram_weights(spark, preds):
+    df, pdf = preds
+    out = class_histogram(df, "truth").toPandas().set_index("truth")
+    assert out.loc[2, "n"] == 5
+    # weights: total/(k*n) with k=3 classes, total=10
+    assert out.loc[2, "weight"] == pytest.approx(10 / (3 * 5))
+    assert out.loc[1, "weight"] == pytest.approx(10 / (3 * 2))
+
+
+def test_confusion_and_report(spark, preds):
+    df, pdf = preds
+    cm = confusion_matrix(df).toPandas()
+    assert cm[(cm.truth == 2) & (cm.pred == 2)]["n"].iloc[0] == 3
+    rep = classification_report(df).toPandas().set_index("cls")
+    # sklearn-verified by hand: class 2 precision=3/3, recall=3/5
+    assert rep.loc[2, "precision"] == pytest.approx(1.0)
+    assert rep.loc[2, "recall"] == pytest.approx(0.6)
+    om = overall_metrics(df).toPandas().iloc[0]
+    assert om["oa"] == pytest.approx(0.7)
+    # kappa by hand: pe = (3*4 + 2*4 + 5*2)/100 = 0.30 -> (0.7-0.3)/0.7
+    assert om["kappa"] == pytest.approx((0.7 - 0.30) / (1 - 0.30))
+
+
+def test_regression_metrics(spark):
+    t = np.array([1.0, 2.0, 3.0, 4.0])
+    p = np.array([1.1, 1.9, 3.2, 3.8])
+    df = spark.createDataFrame(pd.DataFrame({"truth": t, "pred": p}))
+    out = regression_metrics(df).toPandas().iloc[0]
+    assert out["rmse"] == pytest.approx(np.sqrt(np.mean((t - p) ** 2)))
+    ss_res = np.sum((t - p) ** 2)
+    ss_tot = np.sum((t - t.mean()) ** 2)
+    assert out["r2"] == pytest.approx(1 - ss_res / ss_tot)
+
+
+def test_augmentations_deterministic_and_shaped(spark):
+    seq = spark.createDataFrame(generate_pandas(50))
+    for op, kw in [
+        (random_scale, {}),
+        (random_zero_out, {}),
+        (random_removal, {}),
+        (doy_shift, {}),
+    ]:
+        a = op(seq, **kw).orderBy("doc_id").toPandas()
+        b = op(seq, **kw).orderBy("doc_id").toPandas()
+        assert len(a) == 50
+        for x, y in zip(a["tokens"], b["tokens"]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # removal keeps >= 2
+    r = random_removal(seq).toPandas()
+    assert (r["n_tok"] >= 2).all()
+    # shift preserves length
+    s = doy_shift(seq).toPandas()
+    orig = seq.toPandas()
+    assert list(s.sort_values("doc_id")["n_tok"]) == list(
+        orig.sort_values("doc_id")["n_tok"]
+    )
+
+
+def test_sequence_csv_roundtrip(spark, tmpdir_session):
+    d = os.path.join(tmpdir_session, "seqcsv")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(5)
+    for i in (315, 316):
+        pdf = pd.DataFrame(
+            {
+                "year": [20180101 + k for k in range(5)],
+                "doy": list(range(1, 6)),
+                "label": [3.0] * 5,
+                **{b: rng.random(5).round(4) for b in BAND_ORDER},
+            }
+        )
+        pdf.to_csv(os.path.join(d, f"{i}.csv"), index=False)
+    df = read_sequence_csvs(spark, d)
+    assert df.count() == 10
+    assert set(r["doc_id"] for r in df.select("doc_id").distinct().collect()) == {
+        "315",
+        "316",
+    }
+    out = os.path.join(tmpdir_session, "split_out")
+    write_split_csvs(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 10
+    assert set(r["split"] for r in back.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
