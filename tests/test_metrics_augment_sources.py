@@ -58,8 +58,8 @@ def test_confusion_and_report(spark, preds):
     assert rep.loc[2, "recall"] == pytest.approx(0.6)
     om = overall_metrics(df).toPandas().iloc[0]
     assert om["oa"] == pytest.approx(0.7)
-    # kappa by hand: pe = (3*4 + 2*4 + 5*2)/100 = 0.30 -> (0.7-0.3)/0.7
-    assert om["kappa"] == pytest.approx((0.7 - 0.30) / (1 - 0.30))
+    # kappa by hand: pe = (3*3 + 2*4 + 5*3)/100 = 0.32 -> (0.7-0.32)/(1-0.32)
+    assert om["kappa"] == pytest.approx((0.7 - 0.32) / (1 - 0.32))
 
 
 def test_regression_metrics(spark):
