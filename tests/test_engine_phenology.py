@@ -1,0 +1,75 @@
+"""Engine facade + LSP phenology tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sits_classification_spark.config import EngineConfig
+from sits_classification_spark.datagen import write_sequences
+from sits_classification_spark.operators.phenology import lsp_kernel, lsp_metrics
+from sits_classification_spark.plans.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmpdir_session):
+    inp = os.path.join(tmpdir_session, "eng_seq")
+    wh = os.path.join(tmpdir_session, "eng_wh")
+    write_sequences(spark, inp, 150)
+    eng = Engine(spark, wh, EngineConfig())
+    eng.build_tiers(inp)
+    return eng, inp
+
+
+def test_engine_tiers_and_long(spark, engine):
+    eng, _ = engine
+    raw = eng.read_tier("tier_raw")
+    assert raw.count() == 150
+    long = eng.tier_long("tier_monthly")
+    # long form rows == sum of n_tok over monthly tier
+    n = eng.read_tier("tier_monthly").agg(F.sum("n_tok")).collect()[0][0]
+    assert long.count() == n
+
+
+def test_engine_verify_tier(spark, engine):
+    eng, _ = engine
+    for tier in ("tier_raw", "tier_10d"):
+        bad = eng.verify_tier(tier).filter(~F.col("ok")).count()
+        assert bad == 0
+
+
+def test_engine_rebuild_noop(spark, engine):
+    eng, inp = engine
+    n_before = eng.lineage().count()
+    eng.rebuild(inp)
+    assert eng.lineage().count() == n_before
+
+
+def test_lsp_kernel_synthetic_season():
+    days = np.arange(0, 365, 10, dtype=np.int64)
+    vals = 100 + 900 * np.exp(-((days - 180.0) ** 2) / (2 * 40.0**2))
+    r = lsp_kernel(days, vals, frac=0.5)
+    sos, pos, eos, sv, pv, ev, amp, slen, integ = r
+    assert pos == 180
+    assert sos < 180 < eos
+    # threshold = 100 + 0.5*900 = 550; gaussian crosses at 180 ± ~47d
+    assert 120 <= sos <= 150 and 210 <= eos <= 240
+    assert amp == pytest.approx(vals.max() - vals.min())
+    assert slen == eos - sos
+    assert integ > 0
+
+
+def test_lsp_metrics_spark(spark):
+    days = np.arange(0, 365, 10, dtype=np.int64)
+    rows = []
+    for d in range(5):
+        vals = 50 + (d + 1) * 100 * np.exp(-((days - 180.0) ** 2) / (2 * 30.0**2))
+        for dy, v in zip(days, vals):
+            rows.append((f"doc{d}", "s", int(dy), float(v)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "grid_day", "value"])
+    out = lsp_metrics(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 5
+    assert (out["pos_day"] == 180).all()
+    assert (out["season_length"] > 0).all()
