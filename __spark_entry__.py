@@ -657,6 +657,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _WORDS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 _WH60 = "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)"
 _WH28 = "CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)"
+# word 3-gram shingle strings from a words list `w`
+_SHINGLES3 = "list_transform(generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))"
+# minhash base: distinct 28-bit-hashed 3-gram shingles; whole-doc fallback for short docs
+_BASE28 = (
+    f"CASE WHEN len(w) >= 3 THEN list_distinct(list_transform({_SHINGLES3}, "
+    "s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))) "
+    "ELSE [CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 7) AS BIGINT)] END"
+)
 _M31 = 2_147_483_647
 _MH_PARAMS = [(3, 38), (5, 131), (7, 286), (9, 503)]  # _minhash_params(4)
 
@@ -895,14 +903,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sigs": f"""
             SELECT doc_id, {mh_exprs}
-            FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base
-                  FROM documents)
+            FROM (SELECT doc_id, {_BASE28} AS base
+                  FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
         """,
         "minhash_lsh_pairs": f"""
             WITH sig AS (
                 SELECT doc_id, {mh_exprs}
-                FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base
-                      FROM documents)),
+                FROM (SELECT doc_id, {_BASE28} AS base
+                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents))),
             banded AS (
                 SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bh FROM sig
                 UNION ALL
@@ -919,8 +927,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
             sh AS (SELECT doc_id,
-                          list_distinct(list_transform(generate_series(1, len(w)-2),
-                                                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+                          list_distinct(list_transform({_SHINGLES3},
+                                                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
                    FROM w WHERE len(w) >= 3),
             sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
             inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

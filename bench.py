@@ -176,6 +176,7 @@ def main():
     shutil.rmtree(workdir, ignore_errors=True)
 
     t_all = time.time()
+    os.environ.setdefault("SPARK_GRAFT_TRIALS", "2")  # warmup + min-of-2
     cascade = run_cascade(CPUS, n_docs, workdir)
     spark = get_spark(app="bench_queries", cores=CPUS)
     qt = run_queries(spark, SF_DIR)

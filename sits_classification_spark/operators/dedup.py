@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sits_classification_spark.operators.text import word_hash28, words
+from sits_classification_spark.operators.text import (
+    ngram_shingles,
+    word_hash28,
+    word_hash60,
+    words,
+)
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -39,10 +44,29 @@ def _minhash_params(k: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, (i * i * 31 + 7) % MERSENNE31) for i in range(1, k + 1)]
 
 
-def minhash_signatures(df: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
-    """k-permutation MinHash over word shingles (28-bit base hash keeps
-    a*h+b inside int64). Output: (doc_id, sig array<long>[k])."""
-    base = F.array_distinct(F.transform(words(text_col), word_hash28))
+def minhash_base(df: DataFrame, shingle_n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct 28-bit-hashed n-gram shingle set per doc — the MinHash base.
+
+    Shingles (not single words) are essential for discrimination: a word-level
+    MinHash degenerates because one globally-minimal stopword hash dominates
+    most docs' minima (measured: 77% of docs landing in ONE band bucket →
+    O(n²) pair blowup). Docs shorter than n words fall back to one whole-doc
+    shingle so every doc keeps a non-null signature."""
+    w = df.select("doc_id", words(text_col).alias("w"))
+    sh = ngram_shingles(F.col("w"), shingle_n)
+    base = F.when(
+        F.size("w") >= shingle_n,
+        F.array_distinct(F.transform(sh, word_hash28)),
+    ).otherwise(F.array(word_hash28(F.concat_ws(" ", F.col("w")))))
+    return w.select("doc_id", base.alias("base"))
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 8, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash over hashed n-gram shingles (28-bit base hash
+    keeps a*h+b inside int64). Output: (doc_id, mh0..mh{k-1})."""
+    base = minhash_base(df, shingle_n, text_col)
 
     def perm(a: int, b: int):
         # Spark introspects lambda arity: must be exactly 1 arg, so close
@@ -50,10 +74,10 @@ def minhash_signatures(df: DataFrame, k: int = 8, text_col: str = "text") -> Dat
         return lambda h: (h * a + b) % MERSENNE31
 
     sigs = [
-        F.array_min(F.transform(base, perm(a, b))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("base"), perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_minhash_params(k))
     ]
-    return df.select("doc_id", *sigs)
+    return base.select("doc_id", *sigs)
 
 
 def minhash_lsh_pairs(
@@ -147,32 +171,57 @@ def ngram_jaccard_pairs(
     Pairs sharing >= 1 shingle are scored |A∩B| / (|A|+|B|-|A∩B|); shingles
     occurring in > max_shingle_df docs are dropped (stop-shingle guard — the
     skew defuse that keeps the self-join from exploding at scale).
+
+    Shingles are 60-bit md5 hashes, not strings: the inverted index shuffles
+    8-byte longs instead of ~20-byte strings, and the O(L·n) zip-based
+    shingler (see ngram_shingles) replaces an O(L²) slice formulation that
+    dominated the old plan's runtime.
+
+    Plan shape (2 shuffles total): explode → groupBy(shingle) collecting the
+    posting list (this single hash-aggregate IS the df-cap check: buckets
+    larger than max_shingle_df are dropped whole) → generate in-bucket pairs
+    inline with array lambdas (no self-join, so the inverted index is
+    shuffled once, not twice) → groupBy(pair) count. The per-doc shingle-set
+    sizes ride along via broadcast joins.
     """
-    w = words(text_col)
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    # guard: sequence(0, negative) would generate a DESCENDING range
-    shingled = df.filter(F.size(w) >= n).select(
+    wdf = df.select("doc_id", words(text_col).alias("w")).filter(
+        F.size("w") >= n
+    )
+    shingled = wdf.select(
         "doc_id",
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+            F.transform(ngram_shingles(F.col("w"), n), word_hash60)
         ).alias("shingles"),
     )
     sizes = shingled.select("doc_id", F.size("shingles").alias("sz"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    sh_df = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(F.broadcast(sh_df.filter(F.col("df") <= max_shingle_df)), "sh", "left_semi")
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, on="sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # posting list per shingle; df cap applied on the aggregated bucket
+    buckets = (
+        inv.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df))
+        .select(F.array_sort("ds").alias("ds"))
     )
+    # all ordered pairs (a < b) within a bucket, generated JVM-side
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -31,6 +31,26 @@ def words(text_col: str = "text") -> Column:
     )
 
 
+def ngram_shingles(w: Column, n: int) -> Column:
+    """Word n-gram shingle strings from a words-array expression.
+
+    Built as arrays_zip of n shifted slices, then one concat per struct.
+    Crucially the lambda body never references `w`: Catalyst's
+    CollapseProject inlines column aliases into lambda bodies, so a
+    formulation like `transform(idx, i -> concat(w[i], w[i+1], ...))`
+    re-evaluates the whole words expression (a regex split of the full text)
+    once PER SHINGLE ELEMENT — O(L²) work that measured 10-50× slower. Here
+    `w` is evaluated n times per row (once per slice), total O(L·n).
+    Short docs (< n words) yield an empty array."""
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(w, F.lit(j + 1), m).alias(f"g{j}") for j in range(n)]
+    )
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"g{j}"] for j in range(n)])
+    )
+
+
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
     "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"),

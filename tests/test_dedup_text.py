@@ -1,0 +1,126 @@
+"""Dedup + text-analysis operator tests (SURVEY.md training-data ops).
+
+Covers the hashed-shingle rewrite: ngram_shingles correctness (incl. short
+docs), MinHash signature discriminativeness on shingles, LSH pair recall of
+a planted near-dup, and n-gram Jaccard against a brute-force python oracle.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from sits_classification_spark.operators.dedup import (
+    exact_dedup,
+    minhash_base,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from sits_classification_spark.operators.text import ngram_shingles, words
+
+
+DOCS = [
+    ("d0", "the quick brown fox jumps over the lazy dog"),
+    ("d1", "the quick brown fox jumps over the lazy cat"),  # near-dup of d0
+    ("d2", "completely different content about spark engines and rollups"),
+    ("d3", "one two"),  # shorter than shingle width
+    ("d4", "the quick brown fox jumps over the lazy dog"),  # exact dup of d0
+    ("d5", "spark engines process rollups of token streams at scale"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def py_shingles(text, n=3):
+    w = text.lower().split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_ngram_shingles_matches_python(docs):
+    out = docs.select(
+        "doc_id", ngram_shingles(words("text"), 3).alias("sh")
+    ).collect()
+    for r in out:
+        expect = [
+            " ".join(dict(DOCS)[r["doc_id"]].lower().split()[i : i + 3])
+            for i in range(max(0, len(dict(DOCS)[r["doc_id"]].split()) - 2))
+        ]
+        assert r["sh"] == expect, r["doc_id"]
+
+
+def test_ngram_shingles_short_doc_empty(docs):
+    r = docs.filter(F.col("doc_id") == "d3").select(
+        ngram_shingles(words("text"), 3).alias("sh")
+    ).first()
+    assert r["sh"] == []
+
+
+def test_minhash_base_short_doc_fallback(docs):
+    base = {r["doc_id"]: r["base"] for r in minhash_base(docs, 3).collect()}
+    assert len(base["d3"]) == 1  # whole-doc fallback shingle
+    assert len(base["d0"]) == len(py_shingles(dict(DOCS)["d0"]))
+
+
+def test_minhash_signatures_discriminate(docs):
+    sig = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+           for r in minhash_signatures(docs, k=4).collect()}
+    assert sig["d0"] == sig["d4"]  # identical docs -> identical signature
+    assert sig["d0"] != sig["d2"]  # unrelated docs must differ
+    # near-dups agree on more hash slots than unrelated docs
+    agree_near = sum(a == b for a, b in zip(sig["d0"], sig["d1"]))
+    agree_far = sum(a == b for a, b in zip(sig["d0"], sig["d2"]))
+    assert agree_near >= agree_far
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, k=4, bands=2).collect()}
+    assert ("d0", "d4") in pairs
+    assert ("d0", "d2") not in pairs
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    texts = dict(DOCS)
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = py_shingles(texts[a]), py_shingles(texts[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            expect[(a, b)] = inter / len(sa | sb)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    # 30 docs all sharing one hot shingle; cap of 10 removes every pair
+    rows = [(f"h{i}", f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_df=10)
+    assert out.count() == 0
+
+
+def test_exact_dedup_groups(docs):
+    out = exact_dedup(docs)
+    grp = {r["keep_doc_id"]: r["n_copies"] for r in out.collect()}
+    assert grp["d0"] == 2  # d0 + d4
+    assert out.count() == 5
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, nbits=16).collect()}
+    assert sh["d0"] == sh["d4"]
+    near = {(r["doc_a"], r["doc_b"]) for r in
+            simhash_near_dups(docs, nbits=16, max_hamming=4).collect()}
+    assert ("d0", "d4") in near
