@@ -338,6 +338,232 @@ def q_cat_change(spark, sf):
     )
 
 
+def q_standardize_user(spark, sf):
+    """W11 standardize: per-series NORMALIZE (v-mean)/std_pop (TSA.prm:184-186)."""
+    from sits_classification_spark.operators.stm import standardize
+
+    s = _series(spark, sf)
+    out = standardize(s, mode="NORMALIZE")
+    return out.select("doc_id", "day", F.round("standardized", 6).alias("standardized"))
+
+
+# RBF kernel truncation radii: sigma*sqrt(2)*erfinv(cutoff) — inlined as
+# literals so the SQL oracle uses the exact same doubles as the numpy kernel
+def _rbf_radii(sigmas=(8, 16, 32), cutoff=0.95):
+    import math
+
+    from sits_classification_spark.operators.harmonic import _erfinv
+
+    return {s: s * math.sqrt(2) * _erfinv(cutoff) for s in sigmas}
+
+
+def q_rbf_smooth_user(spark, sf):
+    """W4 RBF smoother: multi-sigma (8/16/32) Gaussian-weighted means,
+    truncated at 95% kernel area, combined by data density (TSA.prm:229-245).
+    Runs the grouped-pandas kernel; the SQL oracle exploits that
+    sum_s(k_est_s * density_s) == sum_s(num_s) algebraically."""
+    from sits_classification_spark.operators.harmonic import rbf_smooth
+
+    s = _series(spark, sf).withColumn("source", F.lit("events"))
+    out = rbf_smooth(s, sigmas=(8, 16, 32), cutoff=0.95)
+    return out.select(
+        "doc_id", F.col("day").cast("long").alias("day"),
+        F.round("smoothed", 5).alias("smoothed"),
+    )
+
+
+def q_noise_residuals(spark, sf):
+    """F2 (single-pass form): residual of each interior obs vs the line
+    between its neighbors; kept = resid <= 3*rmse (TSA.prm:142-154)."""
+    s = _series(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("day")
+    pv, nv = F.lag("value").over(w), F.lead("value").over(w)
+    pd_, nd = F.lag("day").over(w), F.lead("day").over(w)
+    interp = pv + (nv - pv) * ((F.col("day") - pd_) / (nd - pd_))
+    s = s.withColumn("resid", F.abs(F.col("value") - interp))
+    rmse = F.sqrt(F.avg(F.col("resid") * F.col("resid")).over(Window.partitionBy("doc_id")))
+    return s.select(
+        "doc_id", "day",
+        F.round("resid", 6).alias("resid"),
+        (F.col("resid").isNull() | (F.col("resid") <= 3 * rmse)).alias("kept"),
+    )
+
+
+def q_noise_filter_iter(spark, sf):
+    """F2 (full iterative form): grouped-pandas fixpoint screen — drops the
+    worst outlier per pass until resid <= k*rmse (no ANSI-SQL equivalent)."""
+    from sits_classification_spark.operators.harmonic import noise_filter
+
+    s = _series(spark, sf).withColumn("source", F.lit("events"))
+    out = noise_filter(s, above_noise=2.0)
+    return out.select("doc_id", F.col("day").cast("long").alias("day"), "kept")
+
+
+def q_class_weights(spark, sf):
+    """A5 class histogram + inverse-frequency weights (trainer.py:95-123)."""
+    from sits_classification_spark.operators.metrics import class_histogram
+
+    e = _read(spark, sf, "embeddings")
+    out = class_histogram(e, label_col="label")
+    return out.select(
+        F.col("label").cast("long").alias("label"), "n",
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _with_pred(df):
+    """Deterministic synthetic classifier output: every 5th vector predicts
+    the next class — gives a fixed confusion structure for A6 parity."""
+    pred = F.when(
+        F.col("vec_id") % 5 == 0, (F.col("label") + 1) % 10
+    ).otherwise(F.col("label"))
+    return df.select(
+        F.col("label").cast("long").alias("truth"), pred.cast("long").alias("pred")
+    )
+
+
+_PRED_SQL = """
+    SELECT CAST(label AS BIGINT) AS truth,
+           CAST(CASE WHEN vec_id % 5 = 0 THEN (label + 1) % 10 ELSE label END AS BIGINT) AS pred
+    FROM embeddings
+"""
+
+
+def q_confusion_report(spark, sf):
+    """A6 per-class precision/recall/F1 (classmetric.py:20-54)."""
+    from sits_classification_spark.operators.metrics import classification_report
+
+    out = classification_report(_with_pred(_read(spark, sf, "embeddings")))
+    return out.select(
+        "cls", "support",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_overall_acc_kappa(spark, sf):
+    """A6 overall accuracy + Cohen's kappa (classmetric.py:30-44)."""
+    from sits_classification_spark.operators.metrics import overall_metrics
+
+    out = overall_metrics(_with_pred(_read(spark, sf, "embeddings")))
+    return out.select(
+        "n", F.round("oa", 6).alias("oa"), F.round("kappa", 6).alias("kappa")
+    )
+
+
+def q_rmse_r2_persistence(spark, sf):
+    """A7 RMSE/R² of the persistence forecast (pred = previous value per
+    user), classmetric.py:100-118 formulas."""
+    from sits_classification_spark.operators.metrics import regression_metrics
+
+    ev = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("value").alias("truth"), F.lag("value").over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    out = regression_metrics(t, "truth", "pred")
+    return out.select(F.round("rmse", 6).alias("rmse"), F.round("r2", 6).alias("r2"))
+
+
+def q_asof_tolerance_7d(spark, sf):
+    """J2 general as-of join (cogrouped pd.merge_asof): latest purchase
+    within 7 days at-or-before each event, per user."""
+    from sits_classification_spark.operators.asof import asof_join_cogroup
+
+    ev = _read(spark, sf, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    left = ev.select("event_id", "user_id", day.alias("day"), "value")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"), "value", "event_id")
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", "event_id").alias("pval"))
+    )
+    out = asof_join_cogroup(left, right, key="user_id", time_col="day",
+                            value_col="pval", tolerance=7)
+    return out.select("event_id", "user_id", F.col("day").cast("long").alias("day"),
+                      "value", "asof_value")
+
+
+def q_end_padding(spark, sf):
+    """W8 end-padding compaction + W9 fixed-length pad: non-pad tokens moved
+    stably to the front, padded to 32 (pytorch/predict.py:173-215)."""
+    from sits_classification_spark.operators.windows import (
+        compact_nonzero,
+        pad_to_length,
+    )
+    from sits_classification_spark.operators.text import words
+
+    d = _read(spark, sf, "documents")
+    toks = F.transform(words("text"), lambda w: F.length(w) % 4)
+    window = pad_to_length(compact_nonzero(toks), 32)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(window, lambda x: x.cast("string"))).alias("window_str"),
+        F.size(F.filter(toks, lambda x: x != F.lit(0))).cast("long").alias("n_nonzero"),
+    )
+
+
+def q_screen_pipeline(spark, sf):
+    """F3+F11+F12 composed: date-range -> value-clamp -> type-route screens."""
+    from sits_classification_spark.operators.screens import (
+        date_range_filter,
+        source_route,
+        value_clamp,
+    )
+
+    ev = _read(spark, sf, "events")
+    out = source_route(
+        value_clamp(
+            date_range_filter(ev, "ts", "2024-01-10", "2024-01-20"),
+            "value", 300.0,
+        ),
+        "event_type", ("view", "click"),
+    )
+    return out.select("event_id", F.col("user_id").alias("doc_id"), "event_type", "value")
+
+
+def q_lsp_phenology(spark, sf):
+    """W12 LSP phenology: start/peak/end-of-season metrics per (doc, year)
+    over the 10-day tier (TSA.prm:355-481) — grouped-pandas kernel."""
+    from sits_classification_spark.operators.phenology import lsp_metrics
+
+    s = resample_expr(
+        _series(spark, sf).withColumn("source", F.lit("events")), int_day=10
+    ).select("doc_id", F.lit("events").alias("source"), "grid_day", "value")
+    out = lsp_metrics(s, frac=0.5)
+    return out.select(
+        "doc_id", "year", "sos_day", "pos_day", "eos_day",
+        F.round("amplitude", 6).alias("amplitude"), "season_length",
+        F.round("integral", 4).alias("integral"),
+    )
+
+
+def q_harmonic_fit_m2(spark, sf):
+    """W5 general harmonic fit (2 modes, annual period, grouped-pandas lstsq
+    — dswi_harmonic_tsi.py:35-52); coefficient vector + in-sample RMSE."""
+    from sits_classification_spark.operators.harmonic import harmonic_fit
+
+    s = _series(spark, sf).withColumn("source", F.lit("events"))
+    out = harmonic_fit(s, modes=2, trend=False)
+    return out.select(
+        "doc_id", F.round("rmse", 6).alias("rmse"), "n",
+        F.transform("coef", lambda c: F.round(c, 6)).alias("coef"),
+    )
+
+
+def q_augment_zero_out(spark, sf):
+    """W13 augmentation: seeded random zero-out of valid positions
+    (augmentation.py:212-249) on the synthetic sequences table."""
+    from sits_classification_spark.datagen import generate_spark
+    from sits_classification_spark.operators.augment import random_zero_out
+
+    seq = generate_spark(spark, 300)
+    out = random_zero_out(seq, frac=0.1, seed=2)
+    return out.select("doc_id", "source", "n_tok")
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish queries
 # ---------------------------------------------------------------------------
@@ -631,6 +857,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qai_screen": q_qai_screen,
         "doy_window": q_doy_window,
         "cat_change": q_cat_change,
+        "standardize_user": q_standardize_user,
+        "rbf_smooth_user": q_rbf_smooth_user,
+        "noise_residuals": q_noise_residuals,
+        "noise_filter_iter": q_noise_filter_iter,
+        "class_weights": q_class_weights,
+        "confusion_report": q_confusion_report,
+        "overall_acc_kappa": q_overall_acc_kappa,
+        "rmse_r2_persistence": q_rmse_r2_persistence,
+        "asof_tolerance_7d": q_asof_tolerance_7d,
+        "end_padding": q_end_padding,
+        "screen_pipeline": q_screen_pipeline,
+        "lsp_phenology": q_lsp_phenology,
+        "harmonic_fit_m2": q_harmonic_fit_m2,
+        "augment_zero_out": q_augment_zero_out,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -697,6 +937,27 @@ def _interp_sql(step: int, value_expr: str) -> str:
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT doc_id, day AS grid_day, {value_expr} AS value
     FROM filled WHERE is_grid = 1
+    """
+
+
+def _rbf_oracle_sql() -> str:
+    radii = _rbf_radii()
+    nums, dens = [], []
+    for s, r in radii.items():
+        w = (
+            f"CASE WHEN abs(b.day - a.day) <= {r!r} THEN "
+            f"exp(-0.5 * ((b.day - a.day)/{s}.0)*((b.day - a.day)/{s}.0)) END"
+        )
+        nums.append(f"sum({w} * b.value)")
+        dens.append(f"sum({w})")
+    rmax = max(radii.values())
+    return f"""
+        WITH series AS ({_SERIES_SQL})
+        SELECT a.doc_id, a.day,
+               round(({' + '.join(nums)}) / ({' + '.join(dens)}), 5) AS smoothed
+        FROM series a JOIN series b
+          ON a.doc_id = b.doc_id AND abs(b.day - a.day) <= {rmax!r}
+        GROUP BY a.doc_id, a.day
     """
 
 
@@ -839,6 +1100,103 @@ def oracle_sql() -> dict[str, str]:
                 FROM series s JOIN chg c USING (doc_id) GROUP BY s.doc_id)
             SELECT doc_id, change, change_bucket, slope_full, slope_before, slope_after, n
             FROM chg JOIN sl USING (doc_id) JOIN parts USING (doc_id)
+        """,
+        "standardize_user": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id, day,
+                   round((value - avg(value) OVER w)
+                         / sqrt(avg(value*value) OVER w - avg(value) OVER w * avg(value) OVER w), 6)
+                     AS standardized
+            FROM series
+            WINDOW w AS (PARTITION BY doc_id)
+        """,
+        "rbf_smooth_user": _rbf_oracle_sql(),
+        "noise_residuals": f"""
+            WITH series AS ({_SERIES_SQL}),
+            r AS (
+                SELECT doc_id, day,
+                       abs(value - (lag(value) OVER w
+                           + (lead(value) OVER w - lag(value) OVER w)
+                             * ((day - lag(day) OVER w) / (lead(day) OVER w - lag(day) OVER w)))) AS resid
+                FROM series
+                WINDOW w AS (PARTITION BY doc_id ORDER BY day))
+            SELECT doc_id, day, round(resid, 6) AS resid,
+                   (resid IS NULL
+                    OR resid <= 3 * sqrt(avg(resid*resid) OVER (PARTITION BY doc_id))) AS kept
+            FROM r
+        """,
+        "class_weights": """
+            WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+            t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+            SELECT CAST(label AS BIGINT) AS label, n,
+                   round(total / (k * n), 6) AS weight
+            FROM c, t
+        """,
+        "confusion_report": f"""
+            WITH t AS ({_PRED_SQL}),
+            per AS (SELECT truth AS cls, count(*) AS support FROM t GROUP BY truth),
+            tp AS (SELECT truth AS cls, count(*) AS tp FROM t WHERE truth = pred GROUP BY truth),
+            pr AS (SELECT pred AS cls, count(*) AS pred_n FROM t GROUP BY pred)
+            SELECT cls, support,
+                   round(tp / pred_n, 6) AS precision,
+                   round(tp / support, 6) AS recall,
+                   round(2 * (tp/pred_n) * (tp/support)
+                         / ((tp/pred_n) + (tp/support)), 6) AS f1
+            FROM per JOIN tp USING (cls) JOIN pr USING (cls)
+        """,
+        "overall_acc_kappa": f"""
+            WITH t AS ({_PRED_SQL}),
+            agg AS (SELECT count(*) AS n,
+                           avg(CASE WHEN truth = pred THEN 1.0 ELSE 0.0 END) AS oa
+                    FROM t),
+            j AS (SELECT coalesce(nt, 0) AS nt, coalesce(np_, 0) AS np_
+                  FROM (SELECT truth AS cls, count(*) AS nt FROM t GROUP BY truth) a
+                  FULL JOIN (SELECT pred AS cls, count(*) AS np_ FROM t GROUP BY pred) b
+                    USING (cls)),
+            c AS (SELECT sum(nt * np_) AS chance FROM j)
+            SELECT n, round(oa, 6) AS oa,
+                   round((oa - chance/(n*n)) / (1 - chance/(n*n)), 6) AS kappa
+            FROM agg, c
+        """,
+        "rmse_r2_persistence": """
+            WITH t AS (
+                SELECT value AS truth,
+                       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+                FROM events),
+            f AS (SELECT truth, pred FROM t WHERE pred IS NOT NULL),
+            m AS (SELECT avg(truth) AS mt FROM f)
+            SELECT round(sqrt(avg(pow(truth - pred, 2))), 6) AS rmse,
+                   round(1.0 - sum(pow(truth - pred, 2)) / sum(pow(truth - mt, 2)), 6) AS r2
+            FROM f, m
+        """,
+        "asof_tolerance_7d": """
+            WITH e AS (SELECT event_id, user_id,
+                              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                              value, event_type
+                       FROM events),
+            r AS (SELECT user_id, day, max_by(value, event_id) AS pval
+                  FROM e WHERE event_type = 'purchase' GROUP BY user_id, day)
+            SELECT e.event_id, e.user_id, e.day, e.value,
+                   max_by(r.pval, r.day) AS asof_value
+            FROM e LEFT JOIN r
+              ON e.user_id = r.user_id AND r.day <= e.day AND r.day >= e.day - 7
+            GROUP BY e.event_id, e.user_id, e.day, e.value
+        """,
+        "end_padding": f"""
+            SELECT doc_id,
+                   array_to_string((list_filter(toks, x -> x <> 0)
+                       || list_transform(generate_series(1, greatest(0, 32 - len(list_filter(toks, x -> x <> 0)))), i -> 0))[1:32],
+                       ',') AS window_str,
+                   len(list_filter(toks, x -> x <> 0)) AS n_nonzero
+            FROM (SELECT doc_id, list_transform({_WORDS}, x -> length(x) % 4) AS toks
+                  FROM documents)
+        """,
+        "screen_pipeline": """
+            SELECT event_id, user_id AS doc_id, event_type, value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+              AND value IS NOT NULL AND abs(value) < 300
+              AND event_type IN ('view', 'click')
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

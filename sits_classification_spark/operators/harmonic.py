@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 YEAR_DAYS = 365.25
 
 
+def _coltype(df: DataFrame, name: str) -> str:
+    """simpleString type of a column — keeps pandas-UDF output schemas in
+    sync with whatever id/day types the caller's table uses."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}[name]
+
+
 def harmonic_design(t: np.ndarray, modes: int, trend: bool) -> np.ndarray:
     cols = [np.ones_like(t, dtype=np.float64)]
     for k in range(1, modes + 1):
@@ -54,9 +60,9 @@ def harmonic_fit(
     value_col: str = "value",
 ) -> DataFrame:
     """Per-doc harmonic coefficients + in-sample RMSE (NRT residual base)."""
-    n_coef = 1 + 2 * modes + (1 if trend else 0)
+    idt = _coltype(long, "doc_id")
     schema = (
-        "doc_id string, source string, coef array<double>, rmse double, n int"
+        f"doc_id {idt}, source string, coef array<double>, rmse double, n int"
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +98,8 @@ def rbf_smooth(
     """W4: multi-sigma Gaussian-kernel smoother, kernels truncated at
     `cutoff` cumulative area, combined weighted by per-kernel data density
     (TSA.prm:229-245). Evaluated at the observation days."""
-    schema = "doc_id string, source string, day int, value double, smoothed double"
+    idt, dayt = _coltype(long, "doc_id"), _coltype(long, day_col)
+    schema = f"doc_id {idt}, source string, {day_col} {dayt}, value double, smoothed double"
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(day_col).reset_index(drop=True)
@@ -144,7 +151,8 @@ def noise_filter(
     """F2: iteratively drop observations whose deviation from the line
     between their neighbors exceeds above_noise * rmse of all deviations
     (TSA.prm:142-154). Adds boolean `kept`."""
-    schema = f"doc_id string, source string, {day_col} int, {value_col} double, kept boolean"
+    idt, dayt = _coltype(long, "doc_id"), _coltype(long, day_col)
+    schema = f"doc_id {idt}, source string, {day_col} {dayt}, {value_col} double, kept boolean"
 
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(day_col).reset_index(drop=True)

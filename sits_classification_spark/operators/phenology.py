@@ -17,8 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-LSP_SCHEMA = (
-    "doc_id string, source string, year int, sos_day int, pos_day int, "
+LSP_FIELDS = (
+    "source string, year int, sos_day int, pos_day int, "
     "eos_day int, sos_value double, pos_value double, eos_value double, "
     "amplitude double, season_length int, integral double"
 )
@@ -81,4 +81,7 @@ def lsp_metrics(
             ],
         )
 
-    return tier_10d_long.groupBy("doc_id").applyInPandas(per_doc, schema=LSP_SCHEMA)
+    idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
+    return tier_10d_long.groupBy("doc_id").applyInPandas(
+        per_doc, schema=f"doc_id {idt}, {LSP_FIELDS}"
+    )
