@@ -92,6 +92,67 @@ def random_removal(df: DataFrame, lo: float = 0.05, hi: float = 0.8, seed: int =
     return _apply(df, fn)
 
 
+def _natural_cubic_eval(
+    xk: np.ndarray, yk: np.ndarray, x: np.ndarray
+) -> np.ndarray:
+    """Evaluate the natural cubic spline through (xk, yk) at x.
+
+    Tridiagonal solve for the second derivatives (numpy-only; the container
+    has no scipy). Knot count is tiny (4-8), so O(k) per series."""
+    n = xk.size
+    h = np.diff(xk)
+    # second-derivative system (natural boundary: M0 = Mn-1 = 0)
+    m = np.zeros(n)
+    if n > 2:
+        a = np.zeros((n - 2, n - 2))
+        rhs = 6 * ((yk[2:] - yk[1:-1]) / h[1:] - (yk[1:-1] - yk[:-2]) / h[:-1])
+        for i in range(n - 2):
+            a[i, i] = 2 * (h[i] + h[i + 1])
+            if i > 0:
+                a[i, i - 1] = h[i]
+            if i < n - 3:
+                a[i, i + 1] = h[i + 1]
+        m[1:-1] = np.linalg.solve(a, rhs)
+    i = np.clip(np.searchsorted(xk, x) - 1, 0, n - 2)
+    dx, hi = x - xk[i], h[i]
+    return (
+        m[i] / (6 * hi) * (xk[i + 1] - x) ** 3
+        + m[i + 1] / (6 * hi) * dx**3
+        + (yk[i + 1] / hi - m[i + 1] * hi / 6) * dx
+        + (yk[i] / hi - m[i] * hi / 6) * (xk[i + 1] - x)
+    )
+
+
+def time_warp(
+    df: DataFrame, n_knots: int = 4, max_warp: float = 0.2, seed: int = 5
+) -> DataFrame:
+    """W13 cubic-spline time-warp (augmentation.py:71-90): a smooth random
+    monotone warp of the position axis, values resampled at the warped
+    positions by linear interpolation on valid observations."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        if t.size < 3:
+            return t
+        rng = _doc_rng(doc_id, seed)
+        pos = np.arange(t.size, dtype=np.float64)
+        xk = np.linspace(0, t.size - 1, n_knots)
+        yk = xk + rng.uniform(-max_warp, max_warp, n_knots) * (t.size - 1) / (
+            n_knots - 1
+        )
+        yk[0], yk[-1] = 0.0, float(t.size - 1)  # pin endpoints
+        warped = np.clip(_natural_cubic_eval(xk, yk, pos), 0, t.size - 1)
+        valid = t != -9999
+        if valid.sum() < 2:
+            return t
+        out = np.full_like(t, -9999)
+        out[valid] = np.round(
+            np.interp(warped[valid], pos[valid], t[valid].astype(np.float64))
+        ).astype(np.int64)
+        return out
+
+    return _apply(df, fn)
+
+
 def doy_shift(df: DataFrame, max_shift: int = 16, seed: int = 4) -> DataFrame:
     """Shift the series by up to ±max_shift positions (clamped roll with
     nodata fill — the token-stream analog of augmentation.py:93-158)."""

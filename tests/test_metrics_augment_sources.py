@@ -13,7 +13,9 @@ from sits_classification_spark.operators.augment import (
     random_removal,
     random_scale,
     random_zero_out,
+    time_warp,
 )
+from sits_classification_spark.operators.augment import _natural_cubic_eval
 from sits_classification_spark.operators.metrics import (
     class_histogram,
     classification_report,
@@ -80,6 +82,7 @@ def test_augmentations_deterministic_and_shaped(spark):
         (random_zero_out, {}),
         (random_removal, {}),
         (doy_shift, {}),
+        (time_warp, {}),
     ]:
         a = op(seq, **kw).orderBy("doc_id").toPandas()
         b = op(seq, **kw).orderBy("doc_id").toPandas()
@@ -95,6 +98,32 @@ def test_augmentations_deterministic_and_shaped(spark):
     assert list(s.sort_values("doc_id")["n_tok"]) == list(
         orig.sort_values("doc_id")["n_tok"]
     )
+
+
+def test_natural_cubic_spline_properties():
+    # interpolates the knots exactly
+    xk = np.array([0.0, 3.0, 7.0, 10.0])
+    yk = np.array([1.0, -2.0, 4.0, 0.5])
+    np.testing.assert_allclose(_natural_cubic_eval(xk, yk, xk), yk, atol=1e-12)
+    # linear data stays linear everywhere
+    ylin = 2.0 * xk + 1.0
+    x = np.linspace(0, 10, 50)
+    np.testing.assert_allclose(
+        _natural_cubic_eval(xk, ylin, x), 2.0 * x + 1.0, atol=1e-10
+    )
+
+
+def test_time_warp_preserves_shape_and_endpoints(spark):
+    seq = spark.createDataFrame(generate_pandas(30))
+    out = time_warp(seq).orderBy("doc_id").toPandas()
+    orig = spark.createDataFrame(generate_pandas(30)).orderBy("doc_id").toPandas()
+    assert list(out["n_tok"]) == list(orig["n_tok"])  # length preserved
+    # warp pins endpoints: first/last valid tokens unchanged where valid
+    for t_out, t_in in zip(out["tokens"], orig["tokens"]):
+        a, b = np.asarray(t_out), np.asarray(t_in)
+        va, vb = a != -9999, b != -9999
+        if vb.sum() >= 3 and vb[0] and vb[-1]:
+            assert a[0] == b[0] and a[-1] == b[-1]
 
 
 def test_sequence_csv_roundtrip(spark, tmpdir_session):
