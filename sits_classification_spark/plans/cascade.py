@@ -256,6 +256,15 @@ class CascadeResult:
     tokens_processed: int
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def with_salt(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Salted partition key: pmod(xxhash64(doc_id), S). Combined with
     `source` it spreads the zipf-hot source over S buckets (north rule)."""
@@ -285,6 +294,19 @@ def build_cascade(
     snap = snapshot_id(input_path)
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    # Read-parallelism guard: materialized tiers at bench scale are a few
+    # hundred MB, so the default 128 MB split size packs them into ~10 input
+    # splits — stage k+1 then runs 10 tasks no matter how many cores exist
+    # (measured: tier_10d 14.6s@2c -> 10.8s@8c, a 1.35x "speedup"). Size the
+    # split target so each tier read yields >= `partitions` splits; on a real
+    # cluster tier files are TB-scale and this clamps back to 128 MB.
+    split_target = max(1 << 20, min(128 << 20, _dir_bytes(input_path) // partitions))
+    conf = spark.conf
+    old_split = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", str(split_target))
+    conf.set("spark.sql.files.openCostInBytes", str(min(1 << 20, split_target // 4)))
 
     seq = spark.read.parquet(input_path)
     seq = with_salt(seq, cfg)
@@ -321,11 +343,13 @@ def build_cascade(
             new_part,
             tier,
             snap,
-            ["doc_id", "n_tok", "cast(tokens as string)"],
+            ["doc_id", "n_tok", "tokens"],  # xxhash64 hashes arrays natively
         )
         L.append_lineage(new_rows, lineage_path)
         tier_paths[tier] = path
         upstream = tier_df
 
     n_tokens = spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()[0][0]
+    conf.set("spark.sql.files.maxPartitionBytes", old_split)
+    conf.set("spark.sql.files.openCostInBytes", old_open)
     return CascadeResult(tier_paths, lineage_path, snap, int(n_tokens or 0))
