@@ -78,7 +78,10 @@ HEADLINE = [
     "stm_user",
     "trend_user",
     "moving_avg_10d",
+    "standardize_user",
+    "rbf_smooth_user",
     "asof_purchase",
+    "asof_tolerance_7d",
     "pricing_summary",
     "revenue_by_nation",
     "doc_exact_dedup",
