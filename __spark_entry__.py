@@ -347,25 +347,17 @@ def q_standardize_user(spark, sf):
     return out.select("doc_id", "day", F.round("standardized", 6).alias("standardized"))
 
 
-# RBF kernel truncation radii: sigma*sqrt(2)*erfinv(cutoff) — inlined as
-# literals so the SQL oracle uses the exact same doubles as the numpy kernel
-def _rbf_radii(sigmas=(8, 16, 32), cutoff=0.95):
-    import math
-
-    from sits_classification_spark.operators.harmonic import _erfinv
-
-    return {s: s * math.sqrt(2) * _erfinv(cutoff) for s in sigmas}
-
-
 def q_rbf_smooth_user(spark, sf):
     """W4 RBF smoother: multi-sigma (8/16/32) Gaussian-weighted means,
     truncated at 95% kernel area, combined by data density (TSA.prm:229-245).
-    Runs the grouped-pandas kernel; the SQL oracle exploits that
-    sum_s(k_est_s * density_s) == sum_s(num_s) algebraically."""
-    from sits_classification_spark.operators.harmonic import rbf_smooth
+    Catalyst self-join form (rbf_smooth_expr); the grouped-pandas kernel
+    rbf_smooth computes the same values (tested to 1e-9). The series is
+    persisted so both self-join sides share one computation of the
+    dedup window (7× faster than recomputing it per side)."""
+    from sits_classification_spark.operators.harmonic import rbf_smooth_expr
 
-    s = _series(spark, sf).withColumn("source", F.lit("events"))
-    out = rbf_smooth(s, sigmas=(8, 16, 32), cutoff=0.95)
+    s = _series(spark, sf).persist()
+    out = rbf_smooth_expr(s, sigmas=(8, 16, 32), cutoff=0.95)
     return out.select(
         "doc_id", F.col("day").cast("long").alias("day"),
         F.round("smoothed", 5).alias("smoothed"),
@@ -941,7 +933,9 @@ def _interp_sql(step: int, value_expr: str) -> str:
 
 
 def _rbf_oracle_sql() -> str:
-    radii = _rbf_radii()
+    from sits_classification_spark.operators.harmonic import rbf_radii
+
+    radii = rbf_radii()
     nums, dens = [], []
     for s, r in radii.items():
         w = (

@@ -132,6 +132,56 @@ def rbf_smooth(
     return long.groupBy("doc_id").applyInPandas(smooth, schema=schema)
 
 
+def rbf_radii(
+    sigmas: tuple[int, ...] = (8, 16, 32), cutoff: float = 0.95
+) -> dict[int, float]:
+    """Kernel truncation radius per sigma: sigma*sqrt(2)*erfinv(cutoff)."""
+    import math
+
+    return {s: s * math.sqrt(2) * _erfinv(cutoff) for s in sigmas}
+
+
+def rbf_smooth_expr(
+    long: DataFrame,
+    sigmas: tuple[int, ...] = (8, 16, 32),
+    cutoff: float = 0.95,
+    day_col: str = "day",
+    value_col: str = "value",
+    key: str = "doc_id",
+) -> DataFrame:
+    """W4 as a pure Catalyst plan: per-doc self-join bounded by the largest
+    truncation radius, Gaussian weights as conditional sums.
+
+    Exploits that the density-weighted combination collapses algebraically:
+    sum_s(k_est_s * density_s) == sum_s(num_s), so the smoother is
+    (Σ_s num_s)/(Σ_s den_s) — one equi-join + one hash aggregate, all
+    JVM-side (the grouped-pandas kernel `rbf_smooth` pays one Python group
+    call per doc, ~10× slower on many small series)."""
+    radii = rbf_radii(sigmas, cutoff)
+    rmax = max(radii.values())
+    a, b = long.alias("a"), long.alias("b")
+    ad, bd = F.col(f"a.{day_col}"), F.col(f"b.{day_col}")
+    nums, dens = [], []
+    for s, r in radii.items():
+        w = F.when(
+            F.abs(bd - ad) <= r,
+            F.exp(-0.5 * ((bd - ad) / float(s)) * ((bd - ad) / float(s))),
+        )
+        nums.append(F.sum(w * F.col(f"b.{value_col}")))
+        dens.append(F.sum(w))
+    num = nums[0]
+    for x in nums[1:]:
+        num = num + x
+    den = dens[0]
+    for x in dens[1:]:
+        den = den + x
+    joined = a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.abs(bd - ad) <= rmax))
+    return (
+        joined.groupBy(F.col(f"a.{key}").alias(key), ad.alias(day_col))
+        .agg((num / den).alias("smoothed"))
+    )
+
+
 def _erfinv(p: float) -> float:
     """Inverse error function (Winitzki approximation — plenty for a kernel
     truncation radius)."""

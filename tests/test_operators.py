@@ -300,3 +300,30 @@ def test_fixed_length_windows(spark):
     assert list(out["window"][0]) == [1, 2, 3, 0, 0, 0]  # compacted + padded
     assert list(out["window"][1]) == [1, 2, 3, 4, 5, 6]  # truncated
     assert list(out["valid_len"]) == [3, 6]
+
+
+def test_rbf_smooth_expr_matches_kernel(spark, long_df):
+    from sits_classification_spark.operators.harmonic import (
+        rbf_smooth,
+        rbf_smooth_expr,
+    )
+
+    df, _ = long_df
+    df = df.filter(F.col("value").isNotNull())
+    a = (
+        rbf_smooth_expr(df)
+        .orderBy("doc_id", "day")
+        .toPandas()
+    )
+    b = (
+        rbf_smooth(df)
+        .orderBy("doc_id", "day")
+        .select("doc_id", "day", "smoothed")
+        .toPandas()
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(a["smoothed"], b["smoothed"], rtol=1e-9)
+    # smoothing is a weighted mean: stays inside the per-doc value envelope
+    env = df.groupBy("doc_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).toPandas().set_index("doc_id")
+    for doc, sm in zip(a["doc_id"], a["smoothed"]):
+        assert env.loc[doc, "lo"] - 1e-9 <= sm <= env.loc[doc, "hi"] + 1e-9
