@@ -473,7 +473,7 @@ def q_asof_tolerance_7d(spark, sf):
         .agg(F.max_by("value", "event_id").alias("pval"))
     )
     out = asof_join_cogroup(left, right, key="user_id", time_col="day",
-                            value_col="pval", tolerance=7)
+                            value_col="pval", tolerance=7, buckets=32)
     return out.select("event_id", "user_id", F.col("day").cast("long").alias("day"),
                       "value", "asof_value")
 

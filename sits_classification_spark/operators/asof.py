@@ -64,24 +64,55 @@ def asof_join_cogroup(
     time_col: str,
     value_col: str,
     tolerance: int | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
-    """General as-of join via cogrouped pandas (pd.merge_asof per key)."""
+    """General as-of join via cogrouped pandas (pd.merge_asof).
+
+    With ``buckets`` set, the cogroup key is a coarse hash bucket of `key`
+    and ``merge_asof(by=key)`` handles the exact-key matching inside each
+    Arrow batch — the number of Python invocations is bounded by `buckets`,
+    not by key cardinality (one call per key is ~10× slower on many small
+    groups). With buckets=None, one cogroup per key (original form)."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
     ) + ", asof_value double"
+    kwargs: dict = {"on": time_col, "direction": "backward"}
+    if tolerance is not None:
+        kwargs["tolerance"] = tolerance
+    if buckets is not None:
+        kwargs["by"] = key
+
+    # Alias the right side's columns to fresh names: when left and right
+    # share lineage (e.g. both derive from the same table) the cogroup plan
+    # dedups same-id attributes and silently DROPS them from the right
+    # pandas frame. Aliasing mints new expression ids on the right.
+    rsel = right.select(
+        F.col(key).alias("_rk"),
+        F.col(time_col).alias(time_col),
+        F.col(value_col).alias("asof_value"),
+    )
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        l = l.sort_values(time_col)
-        r = r.sort_values(time_col)[[time_col, value_col]].rename(
-            columns={value_col: "asof_value"}
+        l = l.drop(columns=["_bk"], errors="ignore").sort_values(
+            time_col, kind="stable"
         )
-        kwargs = {}
-        if tolerance is not None:
-            kwargs["tolerance"] = tolerance
-        out = pd.merge_asof(l, r, on=time_col, direction="backward", **kwargs)
+        r = r.rename(columns={"_rk": key}).sort_values(time_col, kind="stable")[
+            ([key] if buckets is not None else []) + [time_col, "asof_value"]
+        ]
+        out = pd.merge_asof(l, r, **kwargs)
         out["asof_value"] = out["asof_value"].astype("float64")
         return out
 
-    return left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas(
-        merge, schema=out_schema
-    )
+    if buckets is None:
+        lg, rg = left.groupBy(key), rsel.groupBy(F.col("_rk").alias(key))
+    else:
+        # the bucket must be a real column on both sides: grouping by a bare
+        # expression lets the planner prune `key` out of the passed frames
+        lg = left.withColumn(
+            "_bk", F.pmod(F.xxhash64(key), F.lit(buckets))
+        ).groupBy("_bk")
+        rg = rsel.withColumn(
+            "_bk", F.pmod(F.xxhash64("_rk"), F.lit(buckets))
+        ).groupBy("_bk")
+    out = lg.cogroup(rg).applyInPandas(merge, schema=out_schema)
+    return out
