@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sits_classification_spark.operators.seriesmap import map_doc_groups
+
 
 def _fill_exprs(mode: str):
     prev_v, prev_d = F.col("_pv"), F.col("_pd")
@@ -99,4 +101,4 @@ def gapfill_pandas(long: DataFrame, mode: str = "LINEAR") -> DataFrame:
             raise ValueError(mode)
         return pdf
 
-    return long.groupBy("doc_id").applyInPandas(fill, schema=out_schema)
+    return map_doc_groups(long, fill, out_schema)

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sits_classification_spark.operators.seriesmap import map_doc_groups
+
 YEAR_DAYS = 365.25
 
 
@@ -85,7 +87,7 @@ def harmonic_fit(
             }
         )
 
-    return long.groupBy("doc_id").applyInPandas(fit, schema=schema)
+    return map_doc_groups(long, fit, schema, order_cols=(day_col,))
 
 
 def rbf_smooth(
@@ -129,7 +131,7 @@ def rbf_smooth(
         out["smoothed"] = sm
         return out
 
-    return long.groupBy("doc_id").applyInPandas(smooth, schema=schema)
+    return map_doc_groups(long, smooth, schema, order_cols=(day_col,))
 
 
 def rbf_radii(
@@ -233,4 +235,4 @@ def noise_filter(
         out["kept"] = keep
         return out
 
-    return long.groupBy("doc_id").applyInPandas(screen, schema=schema)
+    return map_doc_groups(long, screen, schema, order_cols=(day_col,))

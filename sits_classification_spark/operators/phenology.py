@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from sits_classification_spark.operators.seriesmap import map_doc_groups
+
 LSP_FIELDS = (
     "source string, year int, sos_day int, pos_day int, "
     "eos_day int, sos_value double, pos_value double, eos_value double, "
@@ -82,6 +84,7 @@ def lsp_metrics(
         )
 
     idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
-    return tier_10d_long.groupBy("doc_id").applyInPandas(
-        per_doc, schema=f"doc_id {idt}, {LSP_FIELDS}"
+    return map_doc_groups(
+        tier_10d_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
+        order_cols=("grid_day",),
     )

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sits_classification_spark.operators.seriesmap import map_doc_groups
+
 from sits_classification_spark.config import DEFAULT_CONFIG, EngineConfig
 
 
@@ -136,6 +138,6 @@ def resample_pandas(
             }
         )
 
-    return long.groupBy("doc_id").applyInPandas(
-        rs, schema="doc_id string, source string, grid_day int, value double"
+    return map_doc_groups(
+        long, rs, "doc_id string, source string, grid_day int, value double"
     )

@@ -1,0 +1,64 @@
+"""Shared runner for per-series pandas kernels.
+
+``groupBy(doc).applyInPandas(fn)`` pays one Arrow round-trip + Python
+invocation PER GROUP — on millions of short series the fixed cost dominates
+(measured ~10s for 1500 docs where the math itself is milliseconds). This
+runner keeps the same per-group kernel contract but bounds Python work by
+partition count:
+
+    repartition(P, key) -> sortWithinPartitions(key, order) -> mapInPandas
+
+Docs are contiguous within a partition after the sort; a doc straddling two
+Arrow batches is carried over to the next batch, so each kernel call sees
+complete series. Inside a batch, plain ``pandas.groupby`` dispatches groups
+in-process (~100 µs/group instead of a full Arrow exchange).
+
+This is the engine's equivalent of the reference's per-pixel multiprocessing
+pool (``force/skel/UDF.prm:183-188``) with block-granular batching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def map_doc_groups(
+    long: DataFrame,
+    per_group: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    key: str = "doc_id",
+    order_cols: tuple[str, ...] = ("day",),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Apply a (one-series pdf) -> pdf kernel to every `key` group."""
+    if partitions is None:
+        partitions = max(long.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    df = long.repartition(partitions, key).sortWithinPartitions(key, *order_cols)
+
+    def flush(pdf: pd.DataFrame):
+        outs = [per_group(g) for _, g in pdf.groupby(key, sort=False)]
+        outs = [o for o in outs if len(o)]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing doc may continue in the next batch — hold it back
+            last = pdf[key].iloc[-1]
+            mask = pdf[key] == last
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield from flush(body)
+        if carry is not None and len(carry):
+            yield from flush(carry)
+
+    return df.mapInPandas(run, schema=schema)
