@@ -103,3 +103,29 @@ def test_resume_skips_committed(spark, tmpdir_session):
         for t, p in res2.tier_paths.items()
     }
     assert before == after
+
+
+def test_salted_repartition_defuses_zipf_skew(spark):
+    """North rule: salting on (source, pmod(xxhash64(doc_id), S)) must spread
+    the zipf-hot source (source0 holds ~50% of docs) across tasks."""
+    from sits_classification_spark.config import DEFAULT_CONFIG
+    from sits_classification_spark.datagen import generate_spark
+    from sits_classification_spark.plans.cascade import with_salt
+
+    seq = generate_spark(spark, 4000)
+    p = 16
+
+    def max_share(df):
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .toPandas()["count"]
+        )
+        return counts.max() / counts.sum()
+
+    unsalted = max_share(seq.repartition(p, "source"))
+    salted = max_share(
+        with_salt(seq, DEFAULT_CONFIG).repartition(p, "source", "salt")
+    )
+    assert unsalted >= 0.4  # the hot source serializes one task
+    assert salted <= 2.5 / p  # salt spreads it to ~uniform
