@@ -328,9 +328,20 @@ def build_cascade(
         todo = L.filter_uncommitted(upstream, keys)
         out = fn(todo)
         if keys is not None and keys.count() > 0:
-            out.write.mode("append").partitionBy("source").parquet(path)
+            # Resume rewrite must be idempotent: tier data lands BEFORE its
+            # lineage row, so a crash in that window leaves committed files
+            # for partitions lineage never recorded — a plain append would
+            # duplicate them. Tier tables are partitioned by (source, salt),
+            # so dynamic partition overwrite replaces exactly the recomputed
+            # partitions and leaves committed ones untouched.
+            old_mode = conf.get("spark.sql.sources.partitionOverwriteMode")
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                out.write.mode("overwrite").partitionBy("source", "salt").parquet(path)
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         else:
-            out.write.mode("overwrite").partitionBy("source").parquet(path)
+            out.write.mode("overwrite").partitionBy("source", "salt").parquet(path)
         # lineage from the MATERIALIZED tier (never from `out`, which would
         # recompute the whole mapInPandas stage a second time)
         tier_df = spark.read.parquet(path)
