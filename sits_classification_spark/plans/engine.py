@@ -79,6 +79,17 @@ class Engine:
             )
         )
 
+    def fold(self, tier: str, period: str = "month", stat: str = "AVG") -> DataFrame:
+        """Ad-hoc continuous aggregate over a materialized tier: any FOLD_TYPE
+        (MIN/Q..​/MAX/AVG/STD/RNG/IQR/SKW/KRT/NUM/SUM, ``TSA.prm:314-334``)
+        by month/quarter/year/week/doy. Reads the tier table, so repeated
+        folds never touch raw data."""
+        from sits_classification_spark.operators.folds import fold_by_period
+
+        return fold_by_period(
+            self.tier_long(tier), period, stat, day_col="bucket", value_col="value"
+        )
+
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.warehouse}/lineage")
 
