@@ -545,6 +545,59 @@ def q_harmonic_fit_m2(spark, sf):
     )
 
 
+def q_positional_encoding(spark, sf):
+    """W14 sin/cos positional encodings of DOY at channels 0..3, d_model=8
+    (pytorch/models/transformer/Models.py:32-54), pads untouched."""
+    from sits_classification_spark.functions.scalar import positional_encoding
+
+    ev = _read(spark, sf, "events")
+    doy = F.dayofyear(F.to_date("ts"))
+    cols = [
+        F.round(positional_encoding(doy, i, d_model=8), 6).alias(f"pe{i}")
+        for i in range(4)
+    ]
+    return ev.select("event_id", doy.cast("long").alias("doy"), *cols)
+
+
+def q_mosaic_last_wins(spark, sf):
+    """S9 mosaic: union two overlapping event slices, later part wins on key
+    collisions (pytorch/predict.py:218-253 overwrite order)."""
+    from sits_classification_spark.operators.screens import mosaic
+
+    ev = _read(spark, sf, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    base = ev.select("event_id", day.alias("day"), "value", F.lit("t0").alias("part"))
+    patch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", day.alias("day"), (F.col("value") * 2).alias("value"),
+                F.lit("t1").alias("part"))
+    )
+    out = mosaic([base, patch], dedup_keys=["event_id"])
+    return out.select("event_id", F.col("day").cast("long").alias("day"),
+                      F.round("value", 4).alias("value"), "part")
+
+
+def q_spectral_index(spark, sf):
+    """C1 spectral-index arithmetic: the DSWI ratio shape
+    (b1+b2)/(b3+b4) (udf_block.py:52) over lineitem numeric columns, with
+    the F11 |v|<5 clamp (dswi_harmonic_tsi.py:123-124) and C2 scale/round."""
+    from sits_classification_spark.functions.scalar import dswi, scale_int16
+    from sits_classification_spark.operators.screens import value_clamp
+
+    li = _read(spark, sf, "lineitem")
+    idx = dswi(
+        F.col("l_extendedprice") / 1000, F.col("l_tax"),
+        F.col("l_quantity"), F.col("l_discount"),
+    )
+    out = value_clamp(li.select("l_orderkey", "l_linenumber", idx.alias("idx")), "idx", 5.0)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round("idx", 6).alias("idx"),
+        scale_int16(F.col("idx"), 1000).cast("long").alias("idx_i16"),
+    )
+
+
 def q_augment_zero_out(spark, sf):
     """W13 augmentation: seeded random zero-out of valid positions
     (augmentation.py:212-249) on the synthetic sequences table."""
@@ -863,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsp_phenology": q_lsp_phenology,
         "harmonic_fit_m2": q_harmonic_fit_m2,
         "augment_zero_out": q_augment_zero_out,
+        "positional_encoding": q_positional_encoding,
+        "mosaic_last_wins": q_mosaic_last_wins,
+        "spectral_index": q_spectral_index,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -1184,6 +1240,40 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(toks, x -> x <> 0)) AS n_nonzero
             FROM (SELECT doc_id, list_transform({_WORDS}, x -> length(x) % 4) AS toks
                   FROM documents)
+        """,
+        "positional_encoding": """
+            SELECT event_id,
+                   CAST(dayofyear(CAST(ts AS DATE)) AS BIGINT) AS doy,
+                   round(sin(CAST(dayofyear(CAST(ts AS DATE)) AS DOUBLE) / pow(10000, 0.0)), 6) AS pe0,
+                   round(cos(CAST(dayofyear(CAST(ts AS DATE)) AS DOUBLE) / pow(10000, 0.0)), 6) AS pe1,
+                   round(sin(CAST(dayofyear(CAST(ts AS DATE)) AS DOUBLE) / pow(10000, 0.25)), 6) AS pe2,
+                   round(cos(CAST(dayofyear(CAST(ts AS DATE)) AS DOUBLE) / pow(10000, 0.25)), 6) AS pe3
+            FROM events
+        """,
+        "mosaic_last_wins": """
+            WITH u AS (
+                SELECT event_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                       value, 't0' AS part, 0 AS pr
+                FROM events
+                UNION ALL
+                SELECT event_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                       value * 2 AS value, 't1' AS part, 1 AS pr
+                FROM events WHERE event_type = 'purchase')
+            SELECT event_id, day, round(value, 4) AS value, part FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY pr DESC) AS rn
+                FROM u)
+            WHERE rn = 1
+        """,
+        "spectral_index": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   round(idx, 6) AS idx,
+                   CAST(CAST(round(idx * 1000) AS SMALLINT) AS BIGINT) AS idx_i16
+            FROM (SELECT l_orderkey, l_linenumber,
+                         (l_extendedprice/1000 + l_tax) / (l_quantity + l_discount) AS idx
+                  FROM lineitem)
+            WHERE idx IS NOT NULL AND abs(idx) < 5
         """,
         "screen_pipeline": """
             SELECT event_id, user_id AS doc_id, event_type, value
