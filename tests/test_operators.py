@@ -327,3 +327,39 @@ def test_rbf_smooth_expr_matches_kernel(spark, long_df):
     env = df.groupBy("doc_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).toPandas().set_index("doc_id")
     for doc, sm in zip(a["doc_id"], a["smoothed"]):
         assert env.loc[doc, "lo"] - 1e-9 <= sm <= env.loc[doc, "hi"] + 1e-9
+
+
+def test_map_doc_groups_carries_docs_across_arrow_batches(spark, long_df):
+    """Force tiny Arrow batches so series straddle batch boundaries; the
+    carry logic must still hand each kernel one complete series."""
+    from sits_classification_spark.operators.seriesmap import map_doc_groups
+
+    df, pdf = long_df
+    df = df.filter(F.col("value").isNotNull())
+
+    def counts(g):
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].iloc[0]], "n": [len(g)], "dsum": [float(g["day"].sum())]}
+        )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = (
+            map_doc_groups(df, counts, "doc_id string, n long, dsum double", partitions=3)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expect = (
+        pdf.dropna(subset=["value"])
+        .groupby("doc_id")
+        .agg(n=("day", "size"), dsum=("day", "sum"))
+        .reset_index()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(expect["doc_id"])  # one row per doc
+    assert list(out["n"]) == list(expect["n"])            # complete series
+    np.testing.assert_allclose(out["dsum"], expect["dsum"])
