@@ -533,15 +533,20 @@ def q_lsp_phenology(spark, sf):
 
 
 def q_harmonic_fit_m2(spark, sf):
-    """W5 general harmonic fit (2 modes, annual period, grouped-pandas lstsq
-    — dswi_harmonic_tsi.py:35-52); coefficient vector + in-sample RMSE."""
+    """W5 general harmonic fit (2 modes, 30-day period matching the event
+    window, grouped-pandas lstsq — dswi_harmonic_tsi.py:35-52). Coefficients
+    are flattened to scalar columns c0..c4 (the driver comparator cannot hash
+    array cells), plus in-sample RMSE. Oracle: closed-form normal-equations
+    solve (unrolled Gaussian elimination generated by _harm2_oracle_sql)."""
     from sits_classification_spark.operators.harmonic import harmonic_fit
 
     s = _series(spark, sf).withColumn("source", F.lit("events"))
-    out = harmonic_fit(s, modes=2, trend=False)
+    out = harmonic_fit(s, modes=2, trend=False, period=30.0, t0=19700.0)
+    sel = [F.round(F.col("coef")[i], 4).alias(f"c{i}") for i in range(5)]
     return out.select(
-        "doc_id", F.round("rmse", 6).alias("rmse"), "n",
-        F.transform("coef", lambda c: F.round(c, 6)).alias("coef"),
+        "doc_id", *sel,
+        F.round("rmse", 5).alias("rmse"),
+        F.col("n").cast("long").alias("n"),
     )
 
 
@@ -1011,6 +1016,92 @@ def _rbf_oracle_sql() -> str:
     """
 
 
+def _harm2_oracle_sql() -> str:
+    """DuckDB oracle for the 2-mode harmonic fit: build the 5x5 normal
+    equations per doc, solve by unrolled Gaussian elimination (SPD — no
+    pivoting needed), then compute in-sample RMSE. The Spark side solves the
+    same least-squares problem via numpy lstsq; both land on the unique
+    minimizer of a well-conditioned system, so round(4/5) absorbs the
+    algorithmic difference."""
+    N = 5
+    basis = [
+        "1",
+        "cos(2*pi()*(day-19700)/30.0)",
+        "sin(2*pi()*(day-19700)/30.0)",
+        "cos(4*pi()*(day-19700)/30.0)",
+        "sin(4*pi()*(day-19700)/30.0)",
+    ]
+    bas_cols = ", ".join(f"{b} AS f{i}" for i, b in enumerate(basis[1:], start=1))
+    gram = []
+    for i in range(N):
+        for j in range(i, N):
+            if i == 0 and j == 0:
+                e = "count(*)*1.0"
+            elif i == 0:
+                e = f"sum(f{j})"
+            else:
+                e = f"sum(f{i}*f{j})"
+            gram.append(f"{e} AS a{i}{j}")
+    rhs = ["sum(value) AS b0"] + [f"sum(f{i}*value) AS b{i}" for i in range(1, N)]
+
+    def nm(i: int, j: int) -> str:  # symmetric entry name in the g CTE
+        return f"a{min(i, j)}{max(i, j)}"
+
+    # forward elimination: stage k updates entries (i,j) with i,j > k;
+    # pivot-row entries p{k}_{j} and pb{k} are finalized as they retire.
+    cur = {(i, j): nm(i, j) for i in range(N) for j in range(N)}
+    bcur = {i: f"b{i}" for i in range(N)}
+    carried: list[str] = []  # finalized pivot column names, passed through
+    ctes = []
+    prev = "g"
+    for k in range(N - 1):
+        sel = ["doc_id", "n"]
+        sel += carried
+        for j in range(k, N):
+            sel.append(f"{cur[(k, j)]} AS p{k}_{j}")
+            carried.append(f"p{k}_{j}")
+        sel.append(f"{bcur[k]} AS pb{k}")
+        carried.append(f"pb{k}")
+        nxt = {}
+        bn = {}
+        for i in range(k + 1, N):
+            f = f"({cur[(i, k)]}/{cur[(k, k)]})"
+            for j in range(i, N):
+                nxt[(i, j)] = f"e{k}_{i}{j}"
+                nxt[(j, i)] = f"e{k}_{i}{j}"
+                sel.append(f"{cur[(i, j)]} - {f}*{cur[(k, j)]} AS e{k}_{i}{j}")
+            bn[i] = f"eb{k}_{i}"
+            sel.append(f"{bcur[i]} - {f}*{bcur[k]} AS eb{k}_{i}")
+        ctes.append(f"e{k} AS (SELECT {', '.join(sel)} FROM {prev})")
+        prev = f"e{k}"
+        cur, bcur = nxt, bn
+    last = N - 1
+    # back substitution, textually inlined
+    x = {last: f"({bcur[last]}/{cur[(last, last)]})"}
+    for i in range(last - 1, -1, -1):
+        terms = " - ".join(f"p{i}_{j}*{x[j]}" for j in range(i + 1, N))
+        x[i] = f"((pb{i} - {terms})/p{i}_{i})"
+    xsel = ", ".join(f"{x[i]} AS x{i}" for i in range(N))
+    fitted = " + ".join(["x0"] + [f"x{i}*f{i}" for i in range(1, N)])
+    csel = ", ".join(f"round(x{i}, 4) AS c{i}" for i in range(N))
+    return f"""
+        WITH series AS ({_SERIES_SQL}),
+        bas AS (SELECT doc_id, value, {bas_cols}
+                FROM series WHERE value IS NOT NULL),
+        g AS (SELECT doc_id, count(*) AS n, {', '.join(gram)}, {', '.join(rhs)}
+              FROM bas GROUP BY doc_id HAVING count(*) >= {N}),
+        {', '.join(ctes)},
+        sol AS (SELECT doc_id, n, {xsel} FROM {prev}),
+        res AS (SELECT s.doc_id, s.value - ({fitted}) AS resid
+                FROM bas s JOIN sol USING (doc_id))
+        SELECT sol.doc_id, {csel},
+               round(sqrt(avg(resid*resid)), 5) AS rmse,
+               CAST(n AS BIGINT) AS n
+        FROM sol JOIN res ON sol.doc_id = res.doc_id
+        GROUP BY sol.doc_id, n, {', '.join(f'x{i}' for i in range(N))}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh_exprs = ", ".join(
         f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
@@ -1161,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY doc_id)
         """,
         "rbf_smooth_user": _rbf_oracle_sql(),
+        "harmonic_fit_m2": _harm2_oracle_sql(),
         "noise_residuals": f"""
             WITH series AS ({_SERIES_SQL}),
             r AS (

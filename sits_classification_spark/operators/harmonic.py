@@ -32,10 +32,17 @@ def _coltype(df: DataFrame, name: str) -> str:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}[name]
 
 
-def harmonic_design(t: np.ndarray, modes: int, trend: bool) -> np.ndarray:
+def harmonic_design(
+    t: np.ndarray,
+    modes: int,
+    trend: bool,
+    period: float = YEAR_DAYS,
+    t0: float = 0.0,
+) -> np.ndarray:
+    t = t - t0
     cols = [np.ones_like(t, dtype=np.float64)]
     for k in range(1, modes + 1):
-        w = 2.0 * np.pi * k * t / YEAR_DAYS
+        w = 2.0 * np.pi * k * t / period
         cols.append(np.cos(w))
         cols.append(np.sin(w))
     if trend:
@@ -44,10 +51,15 @@ def harmonic_design(t: np.ndarray, modes: int, trend: bool) -> np.ndarray:
 
 
 def harmonic_fit_kernel(
-    days: np.ndarray, values: np.ndarray, modes: int, trend: bool
+    days: np.ndarray,
+    values: np.ndarray,
+    modes: int,
+    trend: bool,
+    period: float = YEAR_DAYS,
+    t0: float = 0.0,
 ) -> np.ndarray | None:
     """Least-squares harmonic coefficients, or None if underdetermined."""
-    X = harmonic_design(days.astype(np.float64), modes, trend)
+    X = harmonic_design(days.astype(np.float64), modes, trend, period, t0)
     if days.size < X.shape[1]:
         return None
     coef, *_ = np.linalg.lstsq(X, values.astype(np.float64), rcond=None)
@@ -60,8 +72,14 @@ def harmonic_fit(
     trend: bool = False,
     day_col: str = "day",
     value_col: str = "value",
+    period: float = YEAR_DAYS,
+    t0: float = 0.0,
 ) -> DataFrame:
-    """Per-doc harmonic coefficients + in-sample RMSE (NRT residual base)."""
+    """Per-doc harmonic coefficients + in-sample RMSE (NRT residual base).
+
+    `period`/`t0` pin the basis phase: the reference fits annual harmonics
+    (dswi_harmonic_tsi.py:35-52); short fit windows want a matching period
+    or the design goes collinear."""
     idt = _coltype(long, "doc_id")
     schema = (
         f"doc_id {idt}, source string, coef array<double>, rmse double, n int"
@@ -71,12 +89,12 @@ def harmonic_fit(
         pdf = pdf.dropna(subset=[value_col]).sort_values(day_col)
         d = pdf[day_col].to_numpy(dtype=np.float64)
         v = pdf[value_col].to_numpy(dtype=np.float64)
-        coef = harmonic_fit_kernel(d, v, modes, trend)
+        coef = harmonic_fit_kernel(d, v, modes, trend, period, t0)
         if coef is None:
             return pd.DataFrame(
                 columns=["doc_id", "source", "coef", "rmse", "n"]
             )
-        resid = v - harmonic_design(d, modes, trend) @ coef
+        resid = v - harmonic_design(d, modes, trend, period, t0) @ coef
         return pd.DataFrame(
             {
                 "doc_id": [pdf["doc_id"].iloc[0]],
