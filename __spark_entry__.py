@@ -351,12 +351,12 @@ def q_rbf_smooth_user(spark, sf):
     """W4 RBF smoother: multi-sigma (8/16/32) Gaussian-weighted means,
     truncated at 95% kernel area, combined by data density (TSA.prm:229-245).
     Catalyst self-join form (rbf_smooth_expr); the grouped-pandas kernel
-    rbf_smooth computes the same values (tested to 1e-9). The series is
-    persisted so both self-join sides share one computation of the
-    dedup window (7× faster than recomputing it per side)."""
+    rbf_smooth computes the same values (tested to 1e-9). No persist: it
+    leaked an InMemoryRelation into every later query in the session, and
+    measured at sf0.1 the unpersisted plan is now the faster one."""
     from sits_classification_spark.operators.harmonic import rbf_smooth_expr
 
-    s = _series(spark, sf).persist()
+    s = _series(spark, sf)
     out = rbf_smooth_expr(s, sigmas=(8, 16, 32), cutoff=0.95)
     return out.select(
         "doc_id", F.col("day").cast("long").alias("day"),
@@ -722,25 +722,12 @@ def q_minhash_sigs(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    """MinHash LSH candidate pairs: k=4 signature, 2 bands of 2 rows."""
-    sig = minhash_signatures(_read(spark, sf, "documents"), k=4)
-    b0 = F.concat_ws("_", F.col("mh0").cast("string"), F.col("mh1").cast("string"))
-    b1 = F.concat_ws("_", F.col("mh2").cast("string"), F.col("mh3").cast("string"))
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), b0.alias("bh")),
-                F.struct(F.lit(1).alias("band"), b1.alias("bh")),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    """MinHash LSH candidate pairs: k=4 signature, 2 bands of 2 rows,
+    hot buckets (> 1000 ids) dropped before pair generation."""
+    from sits_classification_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(spark, sf, "documents"), k=4, bands=2, max_bucket=1000
     )
 
 
@@ -770,6 +757,18 @@ def q_cosine_topk(spark, sf):
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs, SRP-LSH blocked (4 planes => 16
+    buckets), hot buckets dropped before the self-join."""
+    from sits_classification_spark.operators.similarity import embedding_near_dups
+
+    e = _read(spark, sf, "embeddings")
+    out = embedding_near_dups(e, dim=64, threshold=0.30, n_planes=4, max_bucket=2000)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
@@ -937,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "embedding_norms": q_embedding_norms,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
@@ -1099,6 +1099,41 @@ def _harm2_oracle_sql() -> str:
                CAST(n AS BIGINT) AS n
         FROM sol JOIN res ON sol.doc_id = res.doc_id
         GROUP BY sol.doc_id, n, {', '.join(f'x{i}' for i in range(N))}
+    """
+
+
+def _embed_neardup_oracle_sql(
+    n_planes: int = 4, dim: int = 64, cap: int = 2000, thr: float = 0.30
+) -> str:
+    """SRP-bucketed near-dup oracle. The hyperplane constants and the
+    left-associative dot-product op order are generated from the same
+    _hyperplane table the Spark operator uses, so bucket assignment is
+    bit-identical across engines."""
+    from sits_classification_spark.operators.similarity import _hyperplane
+
+    cases = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        dot = "0.0" + "".join(
+            f" + CAST(embedding[{j + 1}] AS DOUBLE)*({c!r})"
+            for j, c in enumerate(plane)
+        )
+        cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(cases)
+    return f"""
+        WITH b AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          {bucket} AS bucket
+                   FROM embeddings),
+        keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {cap}),
+        b2 AS (SELECT b.vec_id, b.v, b.bucket FROM b JOIN keep USING (bucket)),
+        p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                     list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cs
+              FROM b2 a JOIN b2 c USING (bucket)
+              WHERE a.vec_id < c.vec_id)
+        SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= {thr}
     """
 
 
@@ -1438,21 +1473,28 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sigs": f"""
             SELECT doc_id, {mh_exprs}
             FROM (SELECT doc_id, {_BASE28} AS base
-                  FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+                  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+                  WHERE len(w) > 0)
         """,
         "minhash_lsh_pairs": f"""
             WITH sig AS (
                 SELECT doc_id, {mh_exprs}
                 FROM (SELECT doc_id, {_BASE28} AS base
-                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents))),
+                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+                      WHERE len(w) > 0)),
             banded AS (
                 SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bh FROM sig
                 UNION ALL
-                SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bh FROM sig)
+                SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bh FROM sig),
+            keep AS (SELECT band, bh FROM banded GROUP BY band, bh
+                     HAVING count(*) <= 1000),
+            b2 AS (SELECT banded.doc_id, banded.band, banded.bh
+                   FROM banded JOIN keep USING (band, bh))
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b USING (band, bh)
+            FROM b2 a JOIN b2 b USING (band, bh)
             WHERE a.doc_id < b.doc_id
         """,
+        "embedding_near_dups": _embed_neardup_oracle_sql(),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

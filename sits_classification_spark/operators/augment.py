@@ -13,6 +13,8 @@ is not. Vectorized numpy inside mapInPandas.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,7 +27,10 @@ AUG_SCHEMA = (
 
 
 def _doc_rng(doc_id: str, seed: int) -> np.random.Generator:
-    h = int(_mix(np.uint64(abs(hash(doc_id)) & 0x7FFFFFFFFFFFFFFF))) ^ seed
+    # md5, not Python hash(): hash() of a str depends on PYTHONHASHSEED, so
+    # two driver launches could silently produce different augmentations.
+    h = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:8], "big")
+    h = int(_mix(np.uint64(h))) ^ seed
     return np.random.default_rng(h & 0xFFFFFFFF)
 
 

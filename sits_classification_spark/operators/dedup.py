@@ -51,8 +51,10 @@ def minhash_base(df: DataFrame, shingle_n: int = 3, text_col: str = "text") -> D
     MinHash degenerates because one globally-minimal stopword hash dominates
     most docs' minima (measured: 77% of docs landing in ONE band bucket →
     O(n²) pair blowup). Docs shorter than n words fall back to one whole-doc
-    shingle so every doc keeps a non-null signature."""
-    w = df.select("doc_id", words(text_col).alias("w"))
+    shingle so every doc keeps a non-null signature; zero-word docs are
+    dropped entirely — they would all hash the empty string and surface every
+    empty-doc pair as a full-signature match."""
+    w = df.select("doc_id", words(text_col).alias("w")).filter(F.size("w") > 0)
     sh = ngram_shingles(F.col("w"), shingle_n)
     base = F.when(
         F.size("w") >= shingle_n,
@@ -81,10 +83,26 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, k: int = 8, bands: int = 4, text_col: str = "text"
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs. Output: (doc_a, doc_b) distinct, doc_a < doc_b."""
+    pairs. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    Hot-bucket guard: a doc duplicated n times puts n ids in one band bucket
+    and an uncapped join yields n² candidate pairs — one viral doc stalls the
+    whole stage. Buckets larger than `max_bucket` are dropped BEFORE any pair
+    is generated (cheap count pre-pass, map-side combined, then a broadcast
+    anti-join — the hot-key list is tiny by construction: at most
+    total_rows/max_bucket keys). Mass-duplicated content is exact-dup
+    territory; run exact_dedup first and feed LSH the survivors.
+
+    Pair generation is in-bucket JVM-side (array lambdas over the collected
+    posting list) instead of a bucket self-join — the banded table is
+    shuffled once, not twice."""
     assert k % bands == 0
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, text_col)
@@ -97,12 +115,34 @@ def minhash_lsh_pairs(
     exploded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    hot = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "bh")
+    )
+    pruned = exploded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    buckets = (
+        pruned.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.array_sort("ds").alias("ds"))
+    )
     return (
-        a.join(b, on=["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -177,12 +217,14 @@ def ngram_jaccard_pairs(
     shingler (see ngram_shingles) replaces an O(L²) slice formulation that
     dominated the old plan's runtime.
 
-    Plan shape (2 shuffles total): explode → groupBy(shingle) collecting the
-    posting list (this single hash-aggregate IS the df-cap check: buckets
-    larger than max_shingle_df are dropped whole) → generate in-bucket pairs
-    inline with array lambdas (no self-join, so the inverted index is
-    shuffled once, not twice) → groupBy(pair) count. The per-doc shingle-set
-    sizes ride along via broadcast joins.
+    Plan shape: explode → count per shingle (map-side combined — a hot
+    stop-shingle never materializes a posting list, only a counter) →
+    broadcast anti-join dropping shingles with df > max_shingle_df (the hot
+    list is at most total_occurrences/max_shingle_df keys, so it broadcasts)
+    → groupBy(shingle) collecting the now-bounded posting list → generate
+    in-bucket pairs inline with array lambdas (no self-join, so the inverted
+    index is shuffled once, not twice) → groupBy(pair) count. The per-doc
+    shingle-set sizes ride along via broadcast joins.
     """
     wdf = df.select("doc_id", words(text_col).alias("w")).filter(
         F.size("w") >= n
@@ -195,11 +237,20 @@ def ngram_jaccard_pairs(
     )
     sizes = shingled.select("doc_id", F.size("shingles").alias("sz"))
     inv = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    # posting list per shingle; df cap applied on the aggregated bucket
-    buckets = (
+    # df cap BEFORE the posting-list aggregate: collecting first and
+    # filtering after would buffer the full hot-shingle doc list in one
+    # aggregation buffer — the exact skew blowup the cap exists to prevent
+    hot = (
         inv.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("sh")
+    )
+    buckets = (
+        inv.join(F.broadcast(hot), ["sh"], "left_anti")
+        .groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df))
+        .filter(F.size("ds") >= 2)
         .select(F.array_sort("ds").alias("ds"))
     )
     # all ordered pairs (a < b) within a bucket, generated JVM-side

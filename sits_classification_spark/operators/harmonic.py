@@ -181,10 +181,14 @@ def rbf_smooth_expr(
     rmax = max(radii.values())
     a, b = long.alias("a"), long.alias("b")
     ad, bd = F.col(f"a.{day_col}"), F.col(f"b.{day_col}")
+    bv = F.col(f"b.{value_col}").cast("double")
+    # the pandas kernel masks non-finite values out before computing density;
+    # gate the weight the same way or a null/NaN obs poisons both sums
+    ok = bv.isNotNull() & ~F.isnan(bv)
     nums, dens = [], []
     for s, r in radii.items():
         w = F.when(
-            F.abs(bd - ad) <= r,
+            (F.abs(bd - ad) <= r) & ok,
             F.exp(-0.5 * ((bd - ad) / float(s)) * ((bd - ad) / float(s))),
         )
         nums.append(F.sum(w * F.col(f"b.{value_col}")))

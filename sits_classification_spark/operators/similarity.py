@@ -136,9 +136,22 @@ def embedding_near_dups(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked (same SRP bucket)."""
+    """Embedding-cosine near-dup pairs, LSH-blocked (same SRP bucket).
+
+    Buckets larger than `max_bucket` are dropped before the self-join — an
+    embedding duplicated n times lands n ids in one bucket and would emit n²
+    pairs. Hot-key pre-pass is a count aggregate (map-side combined) + a
+    broadcast anti-join; the hot list is at most n_rows/max_bucket keys."""
     b = df.withColumn("bucket", srp_bucket(F.col(vec_col), dim, n_planes))
+    hot = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("bucket")
+    )
+    b = b.join(F.broadcast(hot), ["bucket"], "left_anti")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, on="bucket")

@@ -291,7 +291,6 @@ def build_cascade(
         import shutil
 
         shutil.rmtree(lineage_path)  # fresh build invalidates old lineage
-    snap = snapshot_id(input_path)
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
@@ -301,13 +300,42 @@ def build_cascade(
     # (measured: tier_10d 14.6s@2c -> 10.8s@8c, a 1.35x "speedup"). Size the
     # split target so each tier read yields >= `partitions` splits; on a real
     # cluster tier files are TB-scale and this clamps back to 128 MB.
-    split_target = max(1 << 20, min(128 << 20, _dir_bytes(input_path) // partitions))
+    # _dir_bytes only sees local paths — for hdfs://s3:// it returns 0, and
+    # overriding from that would force 1 MB splits on a TB-scale read, so the
+    # override is applied only when local sizing is available.
+    in_bytes = _dir_bytes(input_path)
     conf = spark.conf
     old_split = conf.get("spark.sql.files.maxPartitionBytes")
     old_open = conf.get("spark.sql.files.openCostInBytes")
-    conf.set("spark.sql.files.maxPartitionBytes", str(split_target))
-    conf.set("spark.sql.files.openCostInBytes", str(min(1 << 20, split_target // 4)))
+    if in_bytes > 0:
+        split_target = max(1 << 20, min(128 << 20, in_bytes // partitions))
+        conf.set("spark.sql.files.maxPartitionBytes", str(split_target))
+        conf.set("spark.sql.files.openCostInBytes", str(min(1 << 20, split_target // 4)))
 
+    try:
+        return _build_cascade_body(
+            spark, input_path, out_dir, cfg, resume, compress, partitions,
+            lineage_path,
+        )
+    finally:
+        # conf restore must survive job failure — a leaked 1 MB split size
+        # would poison every later read in the session
+        conf.set("spark.sql.files.maxPartitionBytes", old_split)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def _build_cascade_body(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    cfg: EngineConfig,
+    resume: bool,
+    compress: bool,
+    partitions: int,
+    lineage_path: str,
+) -> CascadeResult:
+    snap = snapshot_id(input_path)
+    conf = spark.conf
     seq = spark.read.parquet(input_path)
     seq = with_salt(seq, cfg)
     # explicit salted repartition: balances skewed sources across tasks and
@@ -361,6 +389,4 @@ def build_cascade(
         upstream = tier_df
 
     n_tokens = spark.read.parquet(input_path).agg(F.sum("n_tok")).collect()[0][0]
-    conf.set("spark.sql.files.maxPartitionBytes", old_split)
-    conf.set("spark.sql.files.openCostInBytes", old_open)
     return CascadeResult(tier_paths, lineage_path, snap, int(n_tokens or 0))

@@ -124,3 +124,36 @@ def test_simhash_identical_and_near(docs):
     near = {(r["doc_a"], r["doc_b"]) for r in
             simhash_near_dups(docs, nbits=16, max_hamming=4).collect()}
     assert ("d0", "d4") in near
+
+
+def test_lsh_hot_bucket_cap_bounds_viral_dups(spark):
+    """1000 identical docs put 1000 ids in one band bucket; the cap drops the
+    bucket before pair generation instead of emitting ~500k pairs. Docs below
+    the cap still pair up (mass dups are exact_dedup's job)."""
+    rows = [(f"v{i:04d}", "the same viral text repeated everywhere online") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    assert minhash_lsh_pairs(d, k=4, bands=2, max_bucket=100).count() == 0
+    small = spark.createDataFrame(rows[:50], "doc_id string, text string")
+    assert minhash_lsh_pairs(small, k=4, bands=2, max_bucket=100).count() == 50 * 49 // 2
+
+
+def test_minhash_drops_empty_docs(spark):
+    d = spark.createDataFrame(
+        [("e0", ""), ("e1", "   "), ("e2", "real words here")],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(d, k=4)
+    assert [r["doc_id"] for r in sigs.collect()] == ["e2"]
+    assert minhash_lsh_pairs(d, k=4, bands=2).count() == 0
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    from sits_classification_spark.operators.similarity import embedding_near_dups
+
+    vec = [float(j % 7 - 3) for j in range(8)]
+    d = spark.createDataFrame(
+        [(i, vec) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    assert embedding_near_dups(d, dim=8, threshold=0.9, n_planes=2, max_bucket=50).count() == 0
+    small = d.limit(10)
+    assert embedding_near_dups(small, dim=8, threshold=0.9, n_planes=2, max_bucket=50).count() == 45

@@ -155,3 +155,27 @@ def test_sequence_csv_roundtrip(spark, tmpdir_session):
         "val",
         "test",
     }
+
+
+def test_doc_rng_independent_of_pythonhashseed():
+    """The per-doc RNG seed must come from md5(doc_id), not Python hash():
+    pin the first draws so any drift (incl. a PYTHONHASHSEED dependence)
+    fails the suite."""
+    import subprocess
+    import sys
+
+    prog = (
+        "from sits_classification_spark.operators.augment import _doc_rng;"
+        "print(repr([_doc_rng('doc00000042', 2).random(), _doc_rng('x', 7).random()]))"
+    )
+    outs = set()
+    for seed in ("0", "12345"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": "/root/repo"},
+        )
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, outs
