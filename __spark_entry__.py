@@ -204,6 +204,54 @@ def q_trend_user(spark, sf):
     )
 
 
+def q_trend_sig(spark, sf):
+    """A3 significance decision (TSA.prm:483-497): per-series OLS slope,
+    t-statistic, CONF=0.95 two-tailed critical value from the published t
+    table, and the pass/fail verdict."""
+    from sits_classification_spark.operators.stm import trend_significance
+
+    s = _series(spark, sf)
+    out = trend_significance(s, tail="TWO")
+    return out.select(
+        "doc_id",
+        F.round("slope", 8).alias("slope"),
+        F.round("t_stat", 5).alias("t_stat"),
+        F.round("t_crit", 4).alias("t_crit"),
+        "significant",
+        "n",
+    )
+
+
+def q_pol_phenology(spark, sf):
+    """W12 POL variant: value-weighted circular mean of the day-of-year per
+    (doc, year) — seasonal timing (mean_doy) + concentration."""
+    from sits_classification_spark.operators.phenology import pol_metrics
+
+    s = _series(spark, sf)
+    out = pol_metrics(s)
+    return out.select(
+        "doc_id", F.col("year").cast("long").alias("year"),
+        F.round("rx", 4).alias("rx"),
+        F.round("ry", 4).alias("ry"),
+        F.round("mean_doy", 4).alias("mean_doy"),
+        F.round("seasonality", 6).alias("seasonality"),
+        "n",
+    )
+
+
+def q_argmax_class(spark, sf):
+    """C6 argmax over class scores (pytorch/predict.py:527-528): index of
+    the max embedding component as a synthetic predicted class."""
+    from sits_classification_spark.functions.scalar import argmax
+
+    e = _read(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        argmax(F.col("embedding")).cast("long").alias("pred"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_score"),
+    )
+
+
 def q_moving_avg_10d(spark, sf):
     """W3 moving-average smoother: ±10-day range window (TSA.prm:225-228)."""
     s = _series(spark, sf)
@@ -252,6 +300,13 @@ _HARM_CTE = """
 """
 
 _HARM_DET = "(n*(scc*sss-scs*scs) - sc*(sc*sss-scs*ss) + ss*(sc*scs-scc*ss))"
+
+# shared fitted-curve text (harmonic_eval_sql(1, 30.0, 19700.0)) — imported
+# lazily to keep module import light
+def _harm_eval1() -> str:
+    from sits_classification_spark.operators.harmonic import harmonic_eval_sql
+
+    return harmonic_eval_sql(1, 30.0, 19700.0)
 _HARM_A0 = "(sy*(scc*sss-scs*scs) - sc*(scy*sss-scs*ssy) + ss*(scy*scs-scc*ssy))"
 _HARM_A1 = "(n*(scy*sss-scs*ssy) - sy*(sc*sss-scs*ss) + ss*(sc*ssy-scy*ss))"
 _HARM_B1 = "(n*(scc*ssy-scy*scs) - sc*(sc*ssy-scy*ss) + sy*(sc*scs-scc*ss))"
@@ -286,6 +341,51 @@ def q_harmonic_user(spark, sf):
     )
 
 
+
+
+def q_harmonic_forecast(spark, sf):
+    """W5 second half — evaluate/forecast: fit the 1-mode harmonic exactly
+    as harmonic_user, then evaluate the fitted curve on a 10-day grid
+    extended 30 days past the last observation (the TSI/NRT output stage,
+    dswi_harmonic_tsi.py:116-147; residual/forecast per TSA.prm:255-261).
+    Rows past the last obs are flagged is_forecast."""
+    from sits_classification_spark.operators.harmonic import harmonic_eval_expr
+
+    s = _series(spark, sf)
+    s = s.withColumn("c", F.expr("cos(2*pi()*(day-19700)/30.0)")).withColumn(
+        "s", F.expr("sin(2*pi()*(day-19700)/30.0)")
+    )
+    sums = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.expr("c*c")).alias("scc"),
+        F.sum(F.expr("s*s")).alias("sss"),
+        F.sum(F.expr("c*s")).alias("scs"),
+        F.sum("value").alias("sy"),
+        F.sum(F.expr("c*value")).alias("scy"),
+        F.sum(F.expr("s*value")).alias("ssy"),
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+    )
+    coefs = sums.select(
+        "doc_id",
+        F.expr(f"{_HARM_A0} / {_HARM_DET}").alias("a0"),
+        F.expr(f"{_HARM_A1} / {_HARM_DET}").alias("a1"),
+        F.expr(f"{_HARM_B1} / {_HARM_DET}").alias("b1"),
+        "lo", "hi",
+    )
+    grid = coefs.select(
+        "doc_id", "a0", "a1", "b1", "hi",
+        F.explode(F.sequence("lo", F.col("hi") + F.lit(30), F.lit(10))).alias("day"),
+    )
+    fitted = harmonic_eval_expr(1, 30.0, 19700.0)
+    return grid.select(
+        "doc_id",
+        F.col("day").cast("long").alias("day"),
+        F.round(fitted, 4).alias("fitted"),
+        (F.col("day") > F.col("hi")).alias("is_forecast"),
+    )
 
 
 def q_qai_screen(spark, sf):
@@ -389,6 +489,33 @@ def q_noise_filter_iter(spark, sf):
     s = _series(spark, sf).withColumn("source", F.lit("events"))
     out = noise_filter(s, above_noise=2.0)
     return out.select("doc_id", F.col("day").cast("long").alias("day"), "kept")
+
+
+def q_noise_restore(spark, sf):
+    """F2 BELOW_NOISE restore (TSA.prm:148-154): QAI-masked obs (synthetic
+    flags from event_id, as in qai_screen) whose residual against the line
+    between bracketing unmasked neighbors is < 1.0*rmse are restored."""
+    from sits_classification_spark.operators.harmonic import below_noise_restore
+
+    ev = _read(spark, sf, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    ev = ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    s = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("day").cast("long").alias("day"),
+            "value",
+            (F.pmod(F.col("event_id"), F.lit(256)).bitwiseAND(F.lit(50)) != 0).alias("masked"),
+        )
+    )
+    out = below_noise_restore(s, below_noise=1.0)
+    return out.select(
+        "doc_id", "day", "masked",
+        F.round("resid", 6).alias("resid"), "restored", "kept",
+    )
 
 
 def q_class_weights(spark, sf):
@@ -525,9 +652,13 @@ def q_lsp_phenology(spark, sf):
         _series(spark, sf).withColumn("source", F.lit("events")), int_day=10
     ).select("doc_id", F.lit("events").alias("source"), "grid_day", "value")
     out = lsp_metrics(s, frac=0.5)
+    longs = [
+        F.col(c).cast("long").alias(c)
+        for c in ("year", "sos_day", "pos_day", "eos_day", "season_length")
+    ]
     return out.select(
-        "doc_id", "year", "sos_day", "pos_day", "eos_day",
-        F.round("amplitude", 6).alias("amplitude"), "season_length",
+        "doc_id", *longs,
+        F.round("amplitude", 6).alias("amplitude"),
         F.round("integral", 4).alias("integral"),
     )
 
@@ -783,11 +914,45 @@ def q_embedding_norms(spark, sf):
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
 
+_FIXTURE_PATH = "/root/repo/.fixtures/cascade_sequences_500_v1.parquet"
+
+
+def _ensure_cascade_fixture() -> str:
+    """Deterministic 500-doc sequences table materialized once so the DuckDB
+    oracle reads the exact same parquet bytes as the Spark cascade query
+    (generation is splitmix64-deterministic; the file is content-stable)."""
+    import os
+
+    if not os.path.exists(_FIXTURE_PATH):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sits_classification_spark.datagen import generate_pandas
+
+        os.makedirs(os.path.dirname(_FIXTURE_PATH), exist_ok=True)
+        pdf = generate_pandas(500)
+        schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("tokens", pa.list_(pa.int32())),
+                ("n_tok", pa.int32()),
+                ("source", pa.string()),
+            ]
+        )
+        tmp = _FIXTURE_PATH + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), tmp)
+        os.replace(tmp, _FIXTURE_PATH)
+    return _FIXTURE_PATH
+
+
 def q_cascade_monthly(spark, sf):
-    """The fused mapInPandas tier cascade (raw->10d->monthly) on the
-    deterministic synthetic sequences table; long-form monthly output."""
+    """The fused mapInArrow tier cascade (raw->10d->monthly) on the
+    deterministic synthetic sequences fixture; long-form monthly output.
+    The oracle recomputes decode -> 10-day interp -> monthly AVG in SQL from
+    the same parquet file. Compared on the double fold value (round 6) —
+    the int token column uses numpy half-even rounding, which SQL round()
+    does not reproduce; token equality is pinned by the pytest oracle."""
     from sits_classification_spark.config import EngineConfig
-    from sits_classification_spark.datagen import generate_spark
     from sits_classification_spark.plans.cascade import (
         stage_10d,
         stage_fold,
@@ -796,7 +961,7 @@ def q_cascade_monthly(spark, sf):
     )
 
     cfg = EngineConfig()
-    seq = with_salt(generate_spark(spark, 500), cfg)
+    seq = with_salt(spark.read.parquet(_ensure_cascade_fixture()), cfg)
     monthly = stage_fold(
         stage_10d(stage_raw(seq, cfg, compress=False), cfg, compress=False),
         "monthly",
@@ -806,12 +971,12 @@ def q_cascade_monthly(spark, sf):
     return monthly.select(
         "doc_id",
         "source",
-        F.posexplode(F.arrays_zip("buckets", "tokens")).alias("pos", "bt"),
+        F.posexplode(F.arrays_zip("buckets", "values")).alias("pos", "bv"),
     ).select(
         "doc_id",
         "source",
-        F.col("bt.buckets").alias("bucket"),
-        F.col("bt.tokens").alias("token"),
+        F.col("bv.buckets").cast("long").alias("bucket"),
+        F.round(F.col("bv.values"), 6).alias("value"),
     )
 
 
@@ -900,9 +1065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_seasonal": q_fold_seasonal,
         "stm_user": q_stm_user,
         "trend_user": q_trend_user,
+        "trend_sig": q_trend_sig,
+        "pol_phenology": q_pol_phenology,
+        "argmax_class": q_argmax_class,
         "moving_avg_10d": q_moving_avg_10d,
         "asof_purchase": q_asof_purchase,
         "harmonic_user": q_harmonic_user,
+        "harmonic_forecast": q_harmonic_forecast,
         "qai_screen": q_qai_screen,
         "doy_window": q_doy_window,
         "cat_change": q_cat_change,
@@ -910,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbf_smooth_user": q_rbf_smooth_user,
         "noise_residuals": q_noise_residuals,
         "noise_filter_iter": q_noise_filter_iter,
+        "noise_restore": q_noise_restore,
         "class_weights": q_class_weights,
         "confusion_report": q_confusion_report,
         "overall_acc_kappa": q_overall_acc_kappa,
@@ -1102,6 +1272,130 @@ def _harm2_oracle_sql() -> str:
     """
 
 
+_INTERP_RAW = (
+    "CASE WHEN pd = day THEN pv "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv-pv)*(day-pd)/(nd-pd) "
+    "WHEN pv IS NOT NULL THEN pv ELSE nv END"
+)
+
+
+def _lsp_oracle_sql() -> str:
+    """Amplitude-threshold LSP over the (unrounded) 10-day interp tier.
+
+    Mirrors operators/phenology.py:lsp_kernel: per (doc, year) with >=3 grid
+    points and vmax > vmin, threshold = vmin + 0.5*(vmax-vmin); pos = first
+    day of the max; sos = first day >= threshold (always <= pos since the
+    max itself is above); eos = last day >= threshold; integral = trapezoid
+    over [sos, eos]."""
+    return f"""
+        WITH t0 AS ({_interp_sql(10, _INTERP_RAW)}),
+        t AS (SELECT doc_id,
+                     year(DATE '1970-01-01' + INTERVAL (grid_day) DAY) AS year,
+                     grid_day AS day, value
+              FROM t0),
+        st AS (SELECT doc_id, year, min(value) AS vmin, max(value) AS vmax,
+                      count(*) AS n
+               FROM t GROUP BY doc_id, year),
+        ok AS (SELECT doc_id, year, vmin, vmax,
+                      vmin + 0.5*(vmax - vmin) AS thresh
+               FROM st WHERE n >= 3 AND vmax > vmin),
+        marks AS (SELECT t.doc_id, t.year,
+                         min(CASE WHEN value = vmax THEN day END) AS pos_day,
+                         min(CASE WHEN value >= thresh THEN day END) AS sos_day,
+                         max(CASE WHEN value >= thresh THEN day END) AS eos_day
+                  FROM t JOIN ok USING (doc_id, year)
+                  GROUP BY t.doc_id, t.year),
+        pairs AS (SELECT doc_id, year, day, value,
+                         lead(day) OVER w AS nd, lead(value) OVER w AS nv
+                  FROM t
+                  WINDOW w AS (PARTITION BY doc_id, year ORDER BY day)),
+        integ AS (SELECT p.doc_id, p.year,
+                         sum((p.value + p.nv)/2.0*(p.nd - p.day)) AS integral
+                  FROM pairs p JOIN marks m USING (doc_id, year)
+                  WHERE p.day >= m.sos_day AND p.nd <= m.eos_day
+                  GROUP BY p.doc_id, p.year)
+        SELECT ok.doc_id, CAST(ok.year AS BIGINT) AS year,
+               m.sos_day, m.pos_day, m.eos_day,
+               round(ok.vmax - ok.vmin, 6) AS amplitude,
+               m.eos_day - m.sos_day AS season_length,
+               round(coalesce(i.integral, 0.0), 4) AS integral
+        FROM ok
+        JOIN marks m USING (doc_id, year)
+        LEFT JOIN integ i USING (doc_id, year)
+    """
+
+
+def _cascade_monthly_oracle_sql() -> str:
+    """SQL re-derivation of the cascade's raw -> 10-day -> monthly tiers
+    from the shared fixture parquet: decode token position k to day k*3,
+    drop -9999 and docs with < 2 valid obs, linear-interp onto the 10-day
+    grid anchored at each doc's first valid day, then AVG-fold by YYYYMM."""
+    path = _ensure_cascade_fixture()
+    return f"""
+        WITH seq AS (SELECT doc_id, source, tokens FROM read_parquet('{path}')),
+        obs AS (SELECT doc_id, source,
+                       unnest(generate_series(0, len(tokens)-1)) AS k,
+                       unnest(tokens) AS tok
+                FROM seq),
+        valid AS (SELECT doc_id, k*3 AS day, CAST(tok AS DOUBLE) AS value
+                  FROM obs WHERE tok <> -9999),
+        keep AS (SELECT doc_id FROM valid GROUP BY doc_id HAVING count(*) >= 2),
+        v AS (SELECT valid.doc_id, valid.day, valid.value
+              FROM valid JOIN keep USING (doc_id)),
+        bounds AS (SELECT doc_id, min(day) AS lo, max(day) AS hi FROM v GROUP BY doc_id),
+        grid AS (SELECT doc_id, unnest(generate_series(lo, hi, 10)) AS day,
+                        CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+                 FROM bounds),
+        unioned AS (
+            SELECT doc_id, day, value, 0 AS is_grid FROM v
+            UNION ALL SELECT doc_id, day, value, is_grid FROM grid),
+        filled AS (
+            SELECT doc_id, day, is_grid,
+                last_value(value IGNORE NULLS) OVER w_prev AS pv,
+                last_value(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+                first_value(value IGNORE NULLS) OVER w_next AS nv,
+                first_value(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+            FROM unioned
+            WINDOW
+              w_prev AS (PARTITION BY doc_id ORDER BY day, is_grid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_next AS (PARTITION BY doc_id ORDER BY day, is_grid
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        g10 AS (SELECT doc_id, day, {_INTERP_RAW} AS value
+                FROM filled WHERE is_grid = 1),
+        monthly AS (
+            SELECT doc_id,
+                   year(DATE '1970-01-01' + INTERVAL (day) DAY)*100
+                     + month(DATE '1970-01-01' + INTERVAL (day) DAY) AS bucket,
+                   avg(value) AS value
+            FROM g10 GROUP BY doc_id, 2),
+        src AS (SELECT doc_id, source FROM seq)
+        SELECT m.doc_id, s.source, CAST(m.bucket AS BIGINT) AS bucket,
+               round(m.value, 6) AS value
+        FROM monthly m JOIN src s USING (doc_id)
+    """
+
+
+def _trend_sig_oracle_sql() -> str:
+    """Shares the t-stat and t-table CASE text with the Spark operator."""
+    from sits_classification_spark.operators.stm import t_crit_sql, t_stat_sql
+
+    mxx = "(avg(day*day) - avg(day)*avg(day))"
+    mxy = "(avg(day*value) - avg(day)*avg(value))"
+    t = t_stat_sql("day", "value")
+    crit = t_crit_sql("count(value)", "TWO")
+    return f"""
+        WITH series AS ({_SERIES_SQL})
+        SELECT doc_id,
+               round({mxy}/{mxx}, 8) AS slope,
+               round({t}, 5) AS t_stat,
+               round({crit}, 4) AS t_crit,
+               abs({t}) > {crit} AS significant,
+               count(value) AS n
+        FROM series GROUP BY doc_id
+    """
+
+
 def _embed_neardup_oracle_sql(
     n_planes: int = 4, dim: int = 64, cap: int = 2000, thr: float = 0.30
 ) -> str:
@@ -1218,6 +1512,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(value) AS BIGINT) AS n
             FROM series GROUP BY doc_id
         """,
+        "trend_sig": _trend_sig_oracle_sql(),
+        "pol_phenology": f"""
+            WITH series AS ({_SERIES_SQL}),
+            g AS (SELECT doc_id,
+                         year(DATE '1970-01-01' + INTERVAL (day) DAY) AS year,
+                         value * cos(2*pi()*(dayofyear(DATE '1970-01-01' + INTERVAL (day) DAY)-1)/365.0) AS vx,
+                         value * sin(2*pi()*(dayofyear(DATE '1970-01-01' + INTERVAL (day) DAY)-1)/365.0) AS vy,
+                         value AS v
+                  FROM series),
+            agg AS (SELECT doc_id, year, sum(vx) AS rx, sum(vy) AS ry,
+                           sum(v) AS sv, count(v) AS n
+                    FROM g GROUP BY doc_id, year)
+            SELECT doc_id, year,
+                   round(rx, 4) AS rx, round(ry, 4) AS ry,
+                   round((CASE WHEN atan2(ry, rx) < 0
+                               THEN atan2(ry, rx) + 2*pi()
+                               ELSE atan2(ry, rx) END)/(2*pi())*365.0 + 1.0, 4) AS mean_doy,
+                   round(sqrt(rx*rx + ry*ry)/sv, 6) AS seasonality,
+                   n
+            FROM agg
+        """,
+        "argmax_class": """
+            SELECT vec_id,
+                   CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT) AS pred,
+                   round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_score
+            FROM embeddings
+        """,
         "moving_avg_10d": f"""
             WITH series AS ({_SERIES_SQL})
             SELECT doc_id, day,
@@ -1243,6 +1564,33 @@ def oracle_sql() -> dict[str, str]:
                    round({_HARM_B1} / {_HARM_DET}, 5) AS b1,
                    n
             FROM sums
+        """,
+        "harmonic_forecast": f"""
+            WITH series AS ({_SERIES_SQL}),
+            sums AS (
+                SELECT doc_id,
+                       count(*) AS n,
+                       sum(c) AS sc, sum(s) AS ss,
+                       sum(c*c) AS scc, sum(s*s) AS sss, sum(c*s) AS scs,
+                       sum(value) AS sy, sum(c*value) AS scy, sum(s*value) AS ssy,
+                       min(day) AS lo, max(day) AS hi
+                FROM (SELECT doc_id, day, value,
+                             cos(2*pi()*(day-19700)/30.0) AS c,
+                             sin(2*pi()*(day-19700)/30.0) AS s
+                      FROM series) GROUP BY doc_id),
+            coefs AS (SELECT doc_id,
+                             {_HARM_A0} / {_HARM_DET} AS a0,
+                             {_HARM_A1} / {_HARM_DET} AS a1,
+                             {_HARM_B1} / {_HARM_DET} AS b1,
+                             lo, hi
+                      FROM sums),
+            grid AS (SELECT doc_id, a0, a1, b1, hi,
+                            unnest(generate_series(lo, hi + 30, 10)) AS day
+                     FROM coefs)
+            SELECT doc_id, day,
+                   round({_harm_eval1()}, 4) AS fitted,
+                   day > hi AS is_forecast
+            FROM grid
         """,
         "qai_screen": """
             SELECT event_id, user_id AS doc_id,
@@ -1287,6 +1635,8 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY doc_id)
         """,
         "rbf_smooth_user": _rbf_oracle_sql(),
+        "lsp_phenology": _lsp_oracle_sql(),
+        "cascade_monthly": _cascade_monthly_oracle_sql(),
         "harmonic_fit_m2": _harm2_oracle_sql(),
         "noise_residuals": f"""
             WITH series AS ({_SERIES_SQL}),
@@ -1301,6 +1651,42 @@ def oracle_sql() -> dict[str, str]:
                    (resid IS NULL
                     OR resid <= 3 * sqrt(avg(resid*resid) OVER (PARTITION BY doc_id))) AS kept
             FROM r
+        """,
+        "noise_restore": """
+            WITH series AS (
+                SELECT doc_id, day, value, masked FROM (
+                    SELECT user_id AS doc_id,
+                           datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                           value,
+                           (event_id % 256) & 50 <> 0 AS masked,
+                           row_number() OVER (
+                               PARTITION BY user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                               ORDER BY ts, event_id) AS rn
+                    FROM events) WHERE rn = 1),
+            r AS (
+                SELECT doc_id, day, masked,
+                       abs(value - (pv + (nv-pv)*((day-pd)/(nd-pd)))) AS resid
+                FROM (SELECT doc_id, day, value, masked,
+                        last_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER w_prev AS pv,
+                        last_value(CASE WHEN NOT masked THEN day END IGNORE NULLS) OVER w_prev AS pd,
+                        first_value(CASE WHEN NOT masked THEN value END IGNORE NULLS) OVER w_next AS nv,
+                        first_value(CASE WHEN NOT masked THEN day END IGNORE NULLS) OVER w_next AS nd
+                      FROM series
+                      WINDOW
+                        w_prev AS (PARTITION BY doc_id ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        w_next AS (PARTITION BY doc_id ORDER BY day
+                                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))),
+            d AS (
+                SELECT doc_id, day, masked, resid,
+                       coalesce(masked AND resid IS NOT NULL
+                                AND resid < 1.0 * sqrt(avg(CASE WHEN NOT masked THEN resid*resid END)
+                                                       OVER (PARTITION BY doc_id)),
+                                FALSE) AS restored
+                FROM r)
+            SELECT doc_id, day, masked, round(resid, 6) AS resid, restored,
+                   (NOT masked OR restored) AS kept
+            FROM d
         """,
         "class_weights": """
             WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),

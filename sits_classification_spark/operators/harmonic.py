@@ -108,6 +108,72 @@ def harmonic_fit(
     return map_doc_groups(long, fit, schema, order_cols=(day_col,))
 
 
+def harmonic_eval_sql(
+    modes: int,
+    period: float,
+    t0: float,
+    day_col: str = "day",
+    coef: tuple[str, ...] = ("a0", "a1", "b1"),
+) -> str:
+    """Textual SQL for evaluating a fitted harmonic at `day_col` — shared
+    verbatim between the Spark expression and a SQL oracle so both engines
+    execute the identical op order."""
+    terms = [coef[0]]
+    for k in range(1, modes + 1):
+        arg = f"{2 * k}*pi()*({day_col}-{t0})/{period}"
+        terms.append(f"{coef[2 * k - 1]}*cos({arg})")
+        terms.append(f"{coef[2 * k]}*sin({arg})")
+    return " + ".join(terms)
+
+
+def harmonic_eval_expr(
+    modes: int,
+    period: float,
+    t0: float,
+    day_col: str = "day",
+    coef: tuple[str, ...] = ("a0", "a1", "b1"),
+):
+    """W5 second half: evaluate the fitted harmonic curve on arbitrary days
+    — the TSI/NRT output stage (``force/skel/dswi_harmonic_tsi.py:116-147``
+    evaluates the fitted model on the full date grid; residual/forecast
+    output per ``TSA.prm:255-261``). Returns a Column; apply to a frame
+    carrying the named coefficient columns and the day column."""
+    return F.expr(harmonic_eval_sql(modes, period, t0, day_col, coef))
+
+
+def harmonic_eval(
+    fit_df: DataFrame,
+    modes: int,
+    period: float = YEAR_DAYS,
+    t0: float = 0.0,
+    day_col: str = "day",
+    horizon: int = 0,
+    step: int = 1,
+) -> DataFrame:
+    """Evaluate per-doc fitted harmonics (output of ``harmonic_fit``, array
+    `coef`) on an equidistant grid from the doc's own `lo`..`hi + horizon`
+    day range. fit_df needs columns (doc_id, coef, lo, hi). Rows past `hi`
+    are flagged ``is_forecast`` (the NRT extrapolation region)."""
+    names = ["a0"]
+    sel = [F.col("coef")[0].alias("a0")]
+    for k in range(1, modes + 1):
+        for nm, i in ((f"a{k}", 2 * k - 1), (f"b{k}", 2 * k)):
+            names.append(nm)
+            sel.append(F.col("coef")[i].alias(nm))
+    g = fit_df.select(
+        "doc_id", *sel, "hi",
+        F.explode(
+            F.sequence("lo", F.col("hi") + horizon, F.lit(step))
+        ).alias(day_col),
+    )
+    fitted = harmonic_eval_expr(modes, period, t0, day_col, tuple(names))
+    return g.select(
+        "doc_id", day_col,
+        fitted.alias("fitted"),
+        (F.col(day_col) > F.col("hi")).alias("is_forecast"),
+    )
+
+
 def rbf_smooth(
     long: DataFrame,
     sigmas: tuple[int, ...] = (8, 16, 32),
@@ -213,6 +279,60 @@ def _erfinv(p: float) -> float:
     ln = np.log(1 - p * p)
     t1 = 2 / (np.pi * a) + ln / 2
     return float(np.sign(p) * np.sqrt(np.sqrt(t1 * t1 - ln / a) - t1))
+
+
+def below_noise_restore(
+    long: DataFrame,
+    below_noise: float = 1.0,
+    mask_col: str = "masked",
+    day_col: str = "day",
+    value_col: str = "value",
+    key: str = "doc_id",
+) -> DataFrame:
+    """F2 second half (``TSA.prm:148-154``): QAI-masked observations whose
+    residual against the line between their bracketing UNMASKED neighbors is
+    below ``below_noise * rmse`` are restored (the mask was probably a false
+    positive — the obs fits the clean series).
+
+    Consumes ``EngineConfig.below_noise``. Pure Column expressions — one
+    shuffle (the per-doc window partition), no Python in the hot path:
+
+    - bracketing unmasked neighbors via ``last/first(... ignorenulls)`` over
+      rows-preceding/following frames that EXCLUDE the current row (so an
+      unmasked obs is bracketed by its peers, not itself);
+    - rmse over the unmasked residuals of the same pass;
+    - adds ``resid``, ``restored`` and ``kept`` (= unmasked or restored).
+    """
+    from pyspark.sql import Window as W
+
+    masked = F.col(mask_col)
+    day, val = F.col(day_col), F.col(value_col)
+    order = W.partitionBy(key).orderBy(day_col)
+    w_prev = order.rowsBetween(W.unboundedPreceding, -1)
+    w_next = order.rowsBetween(1, W.unboundedFollowing)
+    uv = F.when(~masked, val)
+    ud = F.when(~masked, day)
+    pv = F.last(uv, ignorenulls=True).over(w_prev)
+    pd_ = F.last(ud, ignorenulls=True).over(w_prev)
+    nv = F.first(uv, ignorenulls=True).over(w_next)
+    nd = F.first(ud, ignorenulls=True).over(w_next)
+    interp = pv + (nv - pv) * ((day - pd_) / (nd - pd_))
+    resid = F.abs(val - interp)
+    out = long.withColumn("resid", resid)
+    rmse = F.sqrt(
+        F.avg(F.when(~masked, F.col("resid") * F.col("resid"))).over(
+            W.partitionBy(key)
+        )
+    )
+    # coalesce: a doc without any unmasked interior residual has no noise
+    # estimate (rmse NULL) — nothing justifies restoring, so False, not NULL
+    restored = F.coalesce(
+        masked & F.col("resid").isNotNull() & (F.col("resid") < below_noise * rmse),
+        F.lit(False),
+    )
+    return out.withColumn("restored", restored).withColumn(
+        "kept", ~masked | F.col("restored")
+    )
 
 
 def noise_filter(

@@ -13,9 +13,12 @@ Grouped Arrow kernel over the 10-day tier (one season record per doc-year).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sits_classification_spark.operators.seriesmap import map_doc_groups
 
@@ -24,6 +27,53 @@ LSP_FIELDS = (
     "eos_day int, sos_value double, pos_value double, eos_value double, "
     "amplitude double, season_length int, integral double"
 )
+
+
+def pol_metrics(
+    long: DataFrame,
+    day_col: str = "day",
+    value_col: str = "value",
+    key: str = "doc_id",
+) -> DataFrame:
+    """W12 POL variant — polar season detection (``TSA.prm:355-481`` offers
+    SPL/POL next to the threshold variant in ``lsp_metrics``). The polar
+    core: project each observation onto the unit circle at angle
+    2*pi*(doy-1)/365 and sum the value-weighted vectors per (doc, year).
+    The mean-vector direction is the season's central day-of-year; its
+    length relative to total value is the seasonal concentration (0 =
+    uniform through the year, 1 = all value on one day) — circular
+    statistics, deterministic and oracle-checkable, unlike the spline
+    variant. Pure Column expressions, one hash aggregate."""
+    dt = F.date_add(F.to_date(F.lit("1970-01-01")), F.col(day_col).cast("int"))
+    doy = F.dayofyear(dt)
+    two_pi = 2 * math.pi
+    th = F.lit(2.0) * F.lit(math.pi) * (doy - 1) / F.lit(365.0)
+    v = F.col(value_col)
+    g = long.select(
+        key,
+        F.year(dt).alias("year"),
+        (v * F.cos(th)).alias("vx"),
+        (v * F.sin(th)).alias("vy"),
+        v.alias("v"),
+    )
+    agg = g.groupBy(key, "year").agg(
+        F.sum("vx").alias("rx"),
+        F.sum("vy").alias("ry"),
+        F.sum("v").alias("sv"),
+        F.count("v").alias("n"),
+    )
+    at = F.atan2(F.col("ry"), F.col("rx"))
+    theta = F.when(at < 0, at + F.lit(two_pi)).otherwise(at)
+    mean_doy = theta / F.lit(two_pi) * F.lit(365.0) + F.lit(1.0)
+    seasonality = (
+        F.sqrt(F.col("rx") * F.col("rx") + F.col("ry") * F.col("ry")) / F.col("sv")
+    )
+    return agg.select(
+        key, "year", "rx", "ry",
+        mean_doy.alias("mean_doy"),
+        seasonality.alias("seasonality"),
+        "n",
+    )
 
 
 def lsp_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5):

@@ -63,6 +63,82 @@ def trend(
     )
 
 
+# two-sided / one-sided 5% critical values of Student's t by degrees of
+# freedom (standard published table); df > 30 falls back to the normal
+# approximation. Backs the TSA.prm:483-497 TAIL/CONF significance decision
+# at CONF=0.95.
+T_CRIT_TWO_95 = {
+    1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447, 7: 2.365,
+    8: 2.306, 9: 2.262, 10: 2.228, 11: 2.201, 12: 2.179, 13: 2.160,
+    14: 2.145, 15: 2.131, 16: 2.120, 17: 2.110, 18: 2.101, 19: 2.093,
+    20: 2.086, 21: 2.080, 22: 2.074, 23: 2.069, 24: 2.064, 25: 2.060,
+    26: 2.056, 27: 2.052, 28: 2.048, 29: 2.045, 30: 2.042,
+}
+T_CRIT_ONE_95 = {
+    1: 6.314, 2: 2.920, 3: 2.353, 4: 2.132, 5: 2.015, 6: 1.943, 7: 1.895,
+    8: 1.860, 9: 1.833, 10: 1.812, 11: 1.796, 12: 1.782, 13: 1.771,
+    14: 1.761, 15: 1.753, 16: 1.746, 17: 1.740, 18: 1.734, 19: 1.729,
+    20: 1.725, 21: 1.721, 22: 1.717, 23: 1.714, 24: 1.711, 25: 1.708,
+    26: 1.706, 27: 1.703, 28: 1.701, 29: 1.699, 30: 1.697,
+}
+
+
+def t_stat_sql(x: str = "day", y: str = "value") -> str:
+    """Textual t-statistic of the OLS slope from explicit moments — shared
+    verbatim with SQL oracles (regr_* internals differ across engines)."""
+    mxx = f"(avg({x}*{x}) - avg({x})*avg({x}))"
+    mxy = f"(avg({x}*{y}) - avg({x})*avg({y}))"
+    myy = f"(avg({y}*{y}) - avg({y})*avg({y}))"
+    return (
+        f"(({mxy}/{mxx}) / sqrt(({myy} - {mxy}*{mxy}/{mxx})"
+        f" / ((count({y})-2)*{mxx})))"
+    )
+
+
+def t_crit_sql(n_expr: str, tail: str = "TWO") -> str:
+    """CASE text mapping df = n-2 to the 5% critical value."""
+    table = T_CRIT_TWO_95 if tail == "TWO" else T_CRIT_ONE_95
+    # CAST each branch: Spark types bare literals as DECIMAL and the mixed
+    # CASE comes back as string, not double
+    whens = " ".join(
+        f"WHEN {n_expr}-2 <= {df} THEN CAST({v} AS DOUBLE)"
+        for df, v in sorted(table.items())
+    )
+    z = 1.96 if tail == "TWO" else 1.645
+    return f"(CASE {whens} ELSE CAST({z} AS DOUBLE) END)"
+
+
+def trend_significance(
+    df: DataFrame,
+    x_col: str = "day",
+    y_col: str = "value",
+    keys: tuple[str, ...] = ("doc_id",),
+    tail: str = "TWO",
+) -> DataFrame:
+    """A3 significance decision (``TSA.prm:483-497``): per-series OLS slope,
+    t-statistic, critical value at CONF=0.95 for TAIL in {LEFT, TWO, RIGHT},
+    and the boolean verdict. Pure aggregate Column expressions."""
+    if tail not in ("LEFT", "TWO", "RIGHT"):
+        raise ValueError(tail)
+    t = t_stat_sql(x_col, y_col)
+    crit = t_crit_sql(f"count({y_col})", tail)
+    if tail == "TWO":
+        sig = f"abs({t}) > {crit}"
+    elif tail == "RIGHT":
+        sig = f"{t} > {crit}"
+    else:
+        sig = f"{t} < -{crit}"
+    mxx = f"(avg({x_col}*{x_col}) - avg({x_col})*avg({x_col}))"
+    mxy = f"(avg({x_col}*{y_col}) - avg({x_col})*avg({y_col}))"
+    return df.groupBy(*keys).agg(
+        F.expr(f"{mxy}/{mxx}").alias("slope"),
+        F.expr(t).alias("t_stat"),
+        F.expr(crit).alias("t_crit"),
+        F.expr(sig).alias("significant"),
+        F.count(y_col).alias("n"),
+    )
+
+
 def moving_average(
     df: DataFrame,
     radius_days: int,
