@@ -891,6 +891,31 @@ def q_cosine_topk(spark, sf):
     )
 
 
+def q_ann_recall(spark, sf):
+    """Recall@10 of multi-probe SRP-LSH ANN vs the exact cosine scan over 20
+    query vectors. Measured on this corpus: probe_hamming 0/1/2 ->
+    recall 0.20/0.49/0.845 (4 planes); the driver config uses 2."""
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(e, q, k=10).select("query_id", "vec_id")
+    ann = ann_lsh_topk(
+        e, q, dim=64, k=10, n_planes=4, probe_hamming=2
+    ).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    perq = (
+        q.select(F.col("vec_id").alias("query_id"))
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce("h", F.lit(0)).alias("h"))
+    )
+    return perq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("h") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
 def q_embedding_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs, SRP-LSH blocked (4 planes => 16
     buckets), hot buckets dropped before the self-join."""
@@ -1107,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "ann_recall": q_ann_recall,
         "embedding_norms": q_embedding_norms,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
@@ -1325,6 +1351,51 @@ def _lsp_oracle_sql() -> str:
     """
 
 
+def _noise_iter_oracle_sql(above_noise: float = 2.0, max_iter: int = 10) -> str:
+    """SQL re-derivation of the iterative noise filter (F2 full form,
+    operators/harmonic.py:noise_filter): each pass recomputes interior
+    residuals over the still-kept rows and drops the single worst offender
+    with resid > above_noise*rmse, to a fixpoint or max_iter. The bounded
+    iteration unrolls into a generated CTE chain (state = per-doc list of
+    dropped days), which DuckDB evaluates without recursion."""
+    ctes = [
+        "d0 AS (SELECT doc_id, CAST([] AS BIGINT[]) AS dropped FROM series GROUP BY doc_id)"
+    ]
+    for i in range(max_iter):
+        ctes.append(f"""
+        k{i} AS (SELECT s.doc_id, s.day, s.value
+                 FROM series s JOIN d{i} d USING (doc_id)
+                 WHERE NOT list_contains(d.dropped, s.day))""")
+        ctes.append(f"""
+        r{i} AS (SELECT doc_id, day,
+                        abs(value - (lag(value) OVER w
+                            + (lead(value) OVER w - lag(value) OVER w)
+                              * ((day - lag(day) OVER w)
+                                 / (lead(day) OVER w - lag(day) OVER w)))) AS resid
+                 FROM k{i}
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY day))""")
+        ctes.append(f"""
+        w{i} AS (SELECT doc_id, day FROM (
+                   SELECT doc_id, day, resid,
+                          sqrt(avg(resid*resid) OVER (PARTITION BY doc_id)) AS rmse,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY resid DESC, day) AS rn
+                   FROM r{i} WHERE resid IS NOT NULL)
+                 WHERE rn = 1 AND resid > {above_noise}*rmse)""")
+        ctes.append(f"""
+        d{i + 1} AS (SELECT d.doc_id,
+                            CASE WHEN w.day IS NULL THEN d.dropped
+                                 ELSE d.dropped || [w.day] END AS dropped
+                     FROM d{i} d LEFT JOIN w{i} w USING (doc_id))""")
+    chain = ",\n".join(ctes)
+    return f"""
+        WITH series AS ({_SERIES_SQL}),
+        {chain}
+        SELECT s.doc_id, s.day, NOT list_contains(d.dropped, s.day) AS kept
+        FROM series s JOIN d{max_iter} d USING (doc_id)
+    """
+
+
 def _cascade_monthly_oracle_sql() -> str:
     """SQL re-derivation of the cascade's raw -> 10-day -> monthly tiers
     from the shared fixture parquet: decode token position k to day k*3,
@@ -1396,10 +1467,8 @@ def _trend_sig_oracle_sql() -> str:
     """
 
 
-def _embed_neardup_oracle_sql(
-    n_planes: int = 4, dim: int = 64, cap: int = 2000, thr: float = 0.30
-) -> str:
-    """SRP-bucketed near-dup oracle. The hyperplane constants and the
+def _srp_bucket_sql(n_planes: int, dim: int) -> str:
+    """SRP bucket id as SQL text. The hyperplane constants and the
     left-associative dot-product op order are generated from the same
     _hyperplane table the Spark operator uses, so bucket assignment is
     bit-identical across engines."""
@@ -1413,7 +1482,13 @@ def _embed_neardup_oracle_sql(
             for j, c in enumerate(plane)
         )
         cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(cases)
+    return " + ".join(cases)
+
+
+def _embed_neardup_oracle_sql(
+    n_planes: int = 4, dim: int = 64, cap: int = 2000, thr: float = 0.30
+) -> str:
+    bucket = _srp_bucket_sql(n_planes, dim)
     return f"""
         WITH b AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -1428,6 +1503,83 @@ def _embed_neardup_oracle_sql(
               FROM b2 a JOIN b2 c USING (bucket)
               WHERE a.vec_id < c.vec_id)
         SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= {thr}
+    """
+
+
+def _ann_recall_oracle_sql(
+    n_planes: int = 4, dim: int = 64, n_queries: int = 20, k: int = 10,
+    probe_hamming: int = 2,
+) -> str:
+    """Recall@k of the multi-probe SRP-LSH path vs the exact scan, both
+    re-derived in SQL. The probe set is the full hamming ball as XOR masks
+    (identical to operators/similarity.py:probe_buckets)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for planes in itertools.combinations(range(n_planes), r):
+            m = 0
+            for p in planes:
+                m |= 1 << p
+            masks.append(m)
+    probe_list = ", ".join(f"xor(b0, {m})" for m in masks)
+    bucket = _srp_bucket_sql(n_planes, dim)
+    cos = (
+        "list_dot_product(c.v, {q}.qvec)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product({q}.qvec, {q}.qvec)))"
+    )
+    return f"""
+        WITH c AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          CAST({bucket} AS BIGINT) AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qvec, bucket AS b0
+              FROM c WHERE vec_id < {n_queries}),
+        exact AS (SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {cos.format(q='q')} DESC, c.vec_id) AS rank
+            FROM c CROSS JOIN q) WHERE rank <= {k}),
+        probes AS (SELECT query_id, qvec, unnest([{probe_list}]) AS bucket FROM q),
+        ann AS (SELECT query_id, vec_id FROM (
+            SELECT p.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                                      ORDER BY {cos.format(q='p')} DESC, c.vec_id) AS rank
+            FROM c JOIN probes p USING (bucket)) WHERE rank <= {k}),
+        hits AS (SELECT e.query_id, count(*) AS h
+                 FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+                 GROUP BY e.query_id),
+        perq AS (SELECT q.query_id, coalesce(h.h, 0) AS h
+                 FROM (SELECT DISTINCT query_id FROM q) q
+                 LEFT JOIN hits h USING (query_id))
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(avg(h)/{k}.0, 4) AS recall_at_{k}
+        FROM perq
+    """
+
+
+def _ann_lsh_topk_oracle_sql(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Single-bucket (probe 0) SRP-LSH top-k for the vec_id=0 query."""
+    bucket = _srp_bucket_sql(n_planes, dim)
+    return f"""
+        WITH c AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                          CAST({bucket} AS BIGINT) AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qvec, bucket
+              FROM c WHERE vec_id = 0),
+        scored AS (SELECT q.query_id, c.vec_id,
+                          list_dot_product(c.v, q.qvec)
+                          / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(q.qvec, q.qvec))) AS cs
+                   FROM c JOIN q USING (bucket))
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
     """
 
 
@@ -1637,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         "rbf_smooth_user": _rbf_oracle_sql(),
         "lsp_phenology": _lsp_oracle_sql(),
         "cascade_monthly": _cascade_monthly_oracle_sql(),
+        "noise_filter_iter": _noise_iter_oracle_sql(),
         "harmonic_fit_m2": _harm2_oracle_sql(),
         "noise_residuals": f"""
             WITH series AS ({_SERIES_SQL}),
@@ -1881,6 +2034,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
         """,
         "embedding_near_dups": _embed_neardup_oracle_sql(),
+        "ann_recall": _ann_recall_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

@@ -80,3 +80,23 @@ def write_split_csvs(
         .option("header", True)
         .csv(out_dir)
     )
+
+
+PREDICTIONS_COLS = ("doc_id", "label", "prediction", "x", "y")
+
+
+def write_predictions_csv(df: DataFrame, out_dir: str) -> None:
+    """S11: predictions sink — (doc_id, truth label, prediction, coords) CSV,
+    the ``predictions.csv`` output of ``pytorch/predict.py:696-707`` (the
+    .shp twin is geo I/O, out of engine scope). Column order is pinned so
+    downstream diff tooling (predict.py:687-697 writes label vs prediction
+    side by side) keeps working."""
+    missing = [c for c in PREDICTIONS_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"predictions frame missing columns: {missing}")
+    (
+        df.select(*PREDICTIONS_COLS)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out_dir)
+    )

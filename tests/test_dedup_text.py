@@ -157,3 +157,21 @@ def test_embedding_near_dup_bucket_cap(spark):
     assert embedding_near_dups(d, dim=8, threshold=0.9, n_planes=2, max_bucket=50).count() == 0
     small = d.limit(10)
     assert embedding_near_dups(small, dim=8, threshold=0.9, n_planes=2, max_bucket=50).count() == 45
+
+
+def test_ann_multiprobe_recall(spark, sf01):
+    """Multi-probe SRP-LSH must reach recall@10 >= 0.8 vs the exact scan at
+    probe_hamming=2 (measured 0.845 on this corpus; 0.20/0.49 at probe 0/1)."""
+    from sits_classification_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    e = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(e, q, k=10).select("query_id", "vec_id")
+    ann = ann_lsh_topk(
+        e, q, dim=64, k=10, n_planes=4, probe_hamming=2
+    ).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"]).count()
+    assert hits / exact.count() >= 0.8

@@ -179,3 +179,26 @@ def test_doc_rng_independent_of_pythonhashseed():
         assert r.returncode == 0, r.stderr
         outs.add(r.stdout.strip())
     assert len(outs) == 1, outs
+
+
+def test_write_predictions_csv_roundtrip(spark, tmpdir_session):
+    import os
+
+    from sits_classification_spark.sources.sequences_csv import (
+        write_predictions_csv,
+    )
+
+    rows = [(f"d{i}", float(i % 3), float((i + 1) % 3), 100.0 + i, 200.0 - i)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, label double, prediction double, x double, y double"
+    )
+    out = os.path.join(tmpdir_session, "preds")
+    write_predictions_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["doc_id", "label", "prediction", "x", "y"]
+    assert back.count() == 20
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_predictions_csv(df.drop("x"), out)
