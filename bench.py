@@ -80,6 +80,13 @@ HEADLINE = [
     "moving_avg_10d",
     "standardize_user",
     "rbf_smooth_user",
+    "noise_restore",
+    "noise_filter_iter",
+    "trend_sig",
+    "harmonic_fit_m2",
+    "harmonic_forecast",
+    "lsp_phenology",
+    "pol_phenology",
     "asof_purchase",
     "asof_tolerance_7d",
     "pricing_summary",
@@ -89,6 +96,8 @@ HEADLINE = [
     "simhash16",
     "ngram_jaccard",
     "cosine_topk",
+    "embedding_near_dups",
+    "ann_recall",
     "doc_quality",
 ]
 

