@@ -93,6 +93,86 @@ class Engine:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.warehouse}/lineage")
 
+    # -- per-series analysis over a tier (the TSA output menu) ---------------
+
+    def stm(self, tier: str, stats: tuple[str, ...] | None = None) -> DataFrame:
+        """A1 spectral-temporal metrics per series (TSA.prm:300-312)."""
+        from sits_classification_spark.operators.stm import STM_DEFAULT, stm
+
+        return stm(
+            self.tier_long(tier), value_col="value", stats=stats or STM_DEFAULT
+        )
+
+    def trend(self, tier: str, tail: str | None = None) -> DataFrame:
+        """A3 trend; with `tail` in {LEFT, TWO, RIGHT} adds the CONF=0.95
+        significance decision (TSA.prm:483-497)."""
+        from sits_classification_spark.operators import stm as S
+
+        long = self.tier_long(tier)
+        if tail is None:
+            return S.trend(long, x_col="bucket", y_col="value")
+        return S.trend_significance(
+            long, x_col="bucket", y_col="value", keys=("doc_id", "source"),
+            tail=tail,
+        )
+
+    def harmonic(
+        self, tier: str, modes: int = 2, trend: bool = False,
+        horizon: int = 0, step: int = 1,
+    ) -> DataFrame:
+        """W5 harmonic fit per series; with horizon > 0 also evaluates the
+        fitted curve on an equidistant grid extended past the last
+        observation (the TSI/NRT forecast output)."""
+        from sits_classification_spark.operators.harmonic import (
+            harmonic_eval,
+            harmonic_fit,
+        )
+
+        long = self.tier_long(tier)
+        fit = harmonic_fit(long, modes=modes, trend=trend, day_col="bucket")
+        if horizon <= 0:
+            return fit
+        bounds = long.groupBy("doc_id").agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        return harmonic_eval(
+            fit.join(bounds, "doc_id"), modes=modes, horizon=horizon, step=step
+        )
+
+    def noise_screen(
+        self, tier: str, iterative: bool = False, mask_col: str | None = None
+    ) -> DataFrame:
+        """F2 noise screen over a tier series: single-pass residual screen by
+        default, grouped-kernel fixpoint with iterative=True; with mask_col
+        set, applies the BELOW_NOISE restore to flagged observations."""
+        from sits_classification_spark.operators.harmonic import (
+            below_noise_restore,
+            noise_filter,
+        )
+
+        long = self.tier_long(tier)
+        if mask_col is not None:
+            return below_noise_restore(
+                long, below_noise=self.cfg.below_noise, mask_col=mask_col,
+                day_col="bucket",
+            )
+        return noise_filter(
+            long, above_noise=self.cfg.above_noise, day_col="bucket"
+        )
+
+    def phenology(self, tier: str, variant: str = "threshold") -> DataFrame:
+        """W12 season metrics: 'threshold' (amplitude LSP) or 'polar'
+        (circular-statistics POL) variant."""
+        from sits_classification_spark.operators.phenology import (
+            lsp_metrics,
+            pol_metrics,
+        )
+
+        long = self.tier_long(tier)
+        if variant == "polar":
+            return pol_metrics(long, day_col="bucket")
+        return lsp_metrics(long.withColumnRenamed("bucket", "grid_day"))
+
     # -- audit ---------------------------------------------------------------
 
     def verify_tier(self, tier: str) -> DataFrame:

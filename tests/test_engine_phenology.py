@@ -73,3 +73,29 @@ def test_lsp_metrics_spark(spark):
     assert len(out) == 5
     assert (out["pos_day"] == 180).all()
     assert (out["season_length"] > 0).all()
+
+
+def test_engine_analysis_facade(spark, engine):
+    """The round-2 facade surface: stm/trend/harmonic/noise_screen/phenology
+    all run over a materialized tier and return per-series frames."""
+    eng, _ = engine
+    n_docs = eng.read_tier("tier_10d").count()
+
+    stm = eng.stm("tier_10d")
+    assert stm.count() == n_docs and "avg" in stm.columns
+
+    tr = eng.trend("tier_10d", tail="TWO")
+    assert tr.count() == n_docs and set(tr.columns) >= {"slope", "t_stat", "significant"}
+
+    fit = eng.harmonic("tier_10d", modes=1)
+    assert fit.count() == n_docs and "rmse" in fit.columns
+    fc = eng.harmonic("tier_10d", modes=1, horizon=30, step=10)
+    assert fc.filter(F.col("is_forecast")).count() > 0
+
+    ns = eng.noise_screen("tier_raw")
+    assert ns.filter(F.col("kept").isNull()).count() == 0
+
+    pol = eng.phenology("tier_10d", variant="polar")
+    assert pol.count() >= n_docs and "mean_doy" in pol.columns
+    lsp = eng.phenology("tier_10d", variant="threshold")
+    assert {"sos_day", "pos_day", "eos_day"} <= set(lsp.columns)
