@@ -1011,6 +1011,41 @@ def q_cascade_monthly(spark, sf):
     )
 
 
+def q_retention_monthly(spark, sf):
+    """Retention policy over the monthly tier (drop_chunks analog): keep
+    only buckets >= 197006 of the fixture cascade's monthly tier; docs
+    trimmed to nothing disappear. Oracle = the cascade oracle + the same
+    bucket cutoff."""
+    from sits_classification_spark.config import EngineConfig
+    from sits_classification_spark.plans.cascade import (
+        stage_10d,
+        stage_fold,
+        stage_raw,
+        stage_retention,
+        with_salt,
+    )
+
+    cfg = EngineConfig()
+    seq = with_salt(spark.read.parquet(_ensure_cascade_fixture()), cfg)
+    monthly = stage_fold(
+        stage_10d(stage_raw(seq, cfg, compress=False), cfg, compress=False),
+        "monthly",
+        cfg,
+        compress=False,
+    )
+    kept = stage_retention(monthly, 197006, compress=False)
+    return kept.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.arrays_zip("buckets", "values")).alias("pos", "bv"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("bv.buckets").cast("long").alias("bucket"),
+        F.round(F.col("bv.values"), 6).alias("value"),
+    )
+
+
 def q_gorilla_roundtrip(spark, sf):
     """Gorilla+DoD codec round-trip over the raw tier (ok=true per doc)."""
     import numpy as np
@@ -1142,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
+        "retention_monthly": q_retention_monthly,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -1795,6 +1831,10 @@ def oracle_sql() -> dict[str, str]:
         "rbf_smooth_user": _rbf_oracle_sql(),
         "lsp_phenology": _lsp_oracle_sql(),
         "cascade_monthly": _cascade_monthly_oracle_sql(),
+        "retention_monthly": f"""
+            SELECT * FROM ({_cascade_monthly_oracle_sql()})
+            WHERE bucket >= 197006
+        """,
         "noise_filter_iter": _noise_iter_oracle_sql(),
         "harmonic_fit_m2": _harm2_oracle_sql(),
         "noise_residuals": f"""

@@ -244,6 +244,40 @@ def stage_fold(tier_df: DataFrame, which: str, cfg: EngineConfig, compress: bool
     return tier_df.mapInArrow(run, schema=TIER_SCHEMA)
 
 
+def stage_retention(
+    tier_df: DataFrame, cutoff_bucket: int, compress: bool = True
+) -> DataFrame:
+    """Retention policy: drop tier points with bucket < cutoff (the
+    TimescaleDB drop_chunks analog — raw/fine tiers age out once the coarser
+    rollups are committed, which is what makes the cascade a *retention*
+    hierarchy and not just a cache). Docs trimmed to nothing disappear from
+    the tier. Map-only: no shuffle, same (source, salt) layout, codec
+    re-applied to the trimmed arrays."""
+
+    def run(batches):
+        tbl = _one_table(batches)
+        if tbl is not None:
+            cols = {name: tbl.column(i).chunk(0) for i, name in enumerate(tbl.schema.names)}
+            b, offsets = _list_buffers(cols["buckets"])
+            v, _ = _list_buffers(cols["values"])
+            keep, noff, nb, nv = FK.flat_trim(
+                b.astype(np.int64), v, offsets, cutoff_bucket
+            )
+            mask = pa.array(keep)
+            yield _tier_batch(
+                cols["doc_id"].filter(mask),
+                cols["source"].filter(mask),
+                cols["salt"].filter(mask),
+                noff,
+                nb,
+                nv,
+                compress,
+            )
+
+    tier_df = tier_df.select("doc_id", "source", "salt", "buckets", "values")
+    return tier_df.mapInArrow(run, schema=TIER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # orchestration: salt -> stage -> write -> lineage, with resume
 # ---------------------------------------------------------------------------

@@ -173,6 +173,42 @@ class Engine:
             return pol_metrics(long, day_col="bucket")
         return lsp_metrics(long.withColumnRenamed("bucket", "grid_day"))
 
+    # -- retention -----------------------------------------------------------
+
+    def apply_retention(
+        self, tier: str, cutoff_bucket: int, compress: bool = True
+    ) -> DataFrame:
+        """Retention policy: rewrite `tier` keeping only points with bucket
+        >= cutoff (drop_chunks analog). The trimmed tier is written beside
+        the old one and atomically swapped in, a lineage row per partition
+        records the action (input_snapshot_id = 'retention<cutoff'), and the
+        new tier frame is returned. Map-only — no shuffle, layout preserved.
+        """
+        import os
+        import shutil
+
+        from sits_classification_spark import lineage as L
+        from sits_classification_spark.plans.cascade import stage_retention
+
+        path = f"{self.warehouse}/{tier}"
+        tmp = f"{path}__retain_tmp"
+        old = f"{path}__retired"
+        trimmed = stage_retention(self.read_tier(tier), cutoff_bucket, compress)
+        trimmed.write.mode("overwrite").partitionBy("source", "salt").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        out = self.read_tier(tier)
+        L.append_lineage(
+            L.lineage_rows(
+                out, tier, f"retention<{cutoff_bucket}",
+                ["doc_id", "n_tok", "tokens"],
+            ),
+            f"{self.warehouse}/lineage",
+        )
+        return out
+
     # -- audit ---------------------------------------------------------------
 
     def verify_tier(self, tier: str) -> DataFrame:

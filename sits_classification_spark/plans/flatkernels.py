@@ -115,3 +115,19 @@ def flat_fold(
     new_lens = np.bincount(doc[starts], minlength=offsets.size - 1)
     new_offsets = np.concatenate(([0], np.cumsum(new_lens)))
     return new_offsets, nb[starts], sums / counts
+
+
+def flat_trim(
+    buckets: np.ndarray, values: np.ndarray, offsets: np.ndarray, cutoff: int
+):
+    """Retention trim: keep only points with bucket >= cutoff; docs trimmed
+    to nothing are dropped. Returns (keep_docs, new_offsets, buckets,
+    values) — the drop-chunks analog at row granularity."""
+    lens = lens_of(offsets)
+    keep = buckets >= cutoff
+    cs = np.concatenate(([0], np.cumsum(keep)))
+    kc = cs[offsets[1:]] - cs[offsets[:-1]]
+    keep_docs = kc >= 1
+    keep_elem = keep & np.repeat(keep_docs, lens)
+    new_offsets = np.concatenate(([0], np.cumsum(kc[keep_docs])))
+    return keep_docs, new_offsets, buckets[keep_elem], values[keep_elem]

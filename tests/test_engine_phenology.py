@@ -99,3 +99,29 @@ def test_engine_analysis_facade(spark, engine):
     assert pol.count() >= n_docs and "mean_doy" in pol.columns
     lsp = eng.phenology("tier_10d", variant="threshold")
     assert {"sos_day", "pos_day", "eos_day"} <= set(lsp.columns)
+
+
+def test_engine_apply_retention(spark, tmpdir_session):
+    """Retention rewrite: points below the cutoff vanish, empty docs drop,
+    compressed columns still round-trip, lineage records the action."""
+    inp = os.path.join(tmpdir_session, "ret_seq")
+    wh = os.path.join(tmpdir_session, "ret_wh")
+    write_sequences(spark, inp, 120)
+    eng = Engine(spark, wh, EngineConfig())
+    eng.build_tiers(inp)
+    before = eng.tier_long("tier_monthly")
+    cutoff = 197006
+    expect = before.filter(F.col("bucket") >= cutoff).count()
+    n_docs_expect = (
+        before.filter(F.col("bucket") >= cutoff).select("doc_id").distinct().count()
+    )
+    out = eng.apply_retention("tier_monthly", cutoff)
+    after = eng.tier_long("tier_monthly")
+    assert after.count() == expect
+    assert after.filter(F.col("bucket") < cutoff).count() == 0
+    assert out.count() == n_docs_expect
+    assert eng.verify_tier("tier_monthly").filter(~F.col("ok")).count() == 0
+    lin = eng.lineage().filter(
+        F.col("input_snapshot_id") == f"retention<{cutoff}"
+    )
+    assert lin.count() > 0
