@@ -868,6 +868,22 @@ def q_minhash_lsh_pairs(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate pairs; cluster_id = min reachable doc_id (the canonical
+    survivor). Oracle: recursive-CTE transitive closure over the same
+    pairs."""
+    from sits_classification_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _read(spark, sf, "documents"), k=4, bands=2, max_bucket=1000
+    )
+    return dedup_clusters(pairs)
+
+
 def q_simhash16(spark, sf):
     d = _read(spark, sf, "documents")
     return simhash(d, nbits=16)
@@ -1169,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1487,6 +1504,29 @@ def _cascade_monthly_oracle_sql() -> str:
                round(m.value, 6) AS value
         FROM monthly m JOIN src s USING (doc_id)
     """
+
+
+def _mh_pairs_sql(mh_exprs: str) -> str:
+    """MinHash LSH candidate pairs (k=4, 2 bands, bucket cap 1000) — shared
+    by the pairs oracle and the clustering oracle's edge list."""
+    return f"""
+            WITH sig AS (
+                SELECT doc_id, {mh_exprs}
+                FROM (SELECT doc_id, {_BASE28} AS base
+                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+                      WHERE len(w) > 0)),
+            banded AS (
+                SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bh FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bh FROM sig),
+            keep AS (SELECT band, bh FROM banded GROUP BY band, bh
+                     HAVING count(*) <= 1000),
+            b2 AS (SELECT banded.doc_id, banded.band, banded.bh
+                   FROM banded JOIN keep USING (band, bh))
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM b2 a JOIN b2 b USING (band, bh)
+            WHERE a.doc_id < b.doc_id
+        """
 
 
 def _trend_sig_oracle_sql() -> str:
@@ -2061,23 +2101,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
                   WHERE len(w) > 0)
         """,
-        "minhash_lsh_pairs": f"""
-            WITH sig AS (
-                SELECT doc_id, {mh_exprs}
-                FROM (SELECT doc_id, {_BASE28} AS base
-                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
-                      WHERE len(w) > 0)),
-            banded AS (
-                SELECT doc_id, 0 AS band, concat(mh0, '_', mh1) AS bh FROM sig
+        "minhash_lsh_pairs": _mh_pairs_sql(mh_exprs),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL
-                SELECT doc_id, 1 AS band, concat(mh2, '_', mh3) AS bh FROM sig),
-            keep AS (SELECT band, bh FROM banded GROUP BY band, bh
-                     HAVING count(*) <= 1000),
-            b2 AS (SELECT banded.doc_id, banded.band, banded.bh
-                   FROM banded JOIN keep USING (band, bh))
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM b2 a JOIN b2 b USING (band, bh)
-            WHERE a.doc_id < b.doc_id
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(doc, lbl) AS (
+                SELECT src AS doc, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS doc, reach.lbl
+                FROM reach JOIN edges e ON reach.doc = e.src)
+            SELECT doc AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY doc
         """,
         "embedding_near_dups": _embed_neardup_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),

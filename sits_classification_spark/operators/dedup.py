@@ -148,6 +148,58 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every doc in a pair gets a
+    cluster_id = the minimum doc_id reachable through the pair graph (the
+    cluster's canonical survivor — keep cluster_id, drop the rest).
+
+    Iterative min-label propagation, no graph library: each sweep every node
+    takes the min of its own and its neighbors' labels (one join + one
+    min-aggregate = 2 shuffles per sweep) and the loop early-stops when a
+    sweep changes nothing. Near-dup clusters from banding are near-cliques,
+    so convergence is 2-3 sweeps regardless of corpus size; `max_iter`
+    bounds adversarial chains. localCheckpoint truncates the lineage so the
+    plan does not deepen per sweep (at cluster scale, point
+    spark.sparkContext.setCheckpointDir at durable storage and use
+    checkpoint() if executor loss must be survivable mid-loop).
+    Docs that appear in no pair are their own cluster and are not emitted.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = sym.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc"] == nbr["dst"], "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("new_lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("doc", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def simhash(df: DataFrame, nbits: int = 16, text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: bit j set iff sum over distinct words of
     (+1 if bit j of word_hash else -1) > 0. nbits<=28 with the shared hash."""

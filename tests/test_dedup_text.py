@@ -175,3 +175,21 @@ def test_ann_multiprobe_recall(spark, sf01):
     ).select("query_id", "vec_id")
     hits = exact.join(ann, ["query_id", "vec_id"]).count()
     assert hits / exact.count() >= 0.8
+
+
+def test_dedup_clusters_chain_and_components(spark):
+    """Min-label propagation must traverse chains (worst case for LSH
+    cliques) and keep separate components separate."""
+    from sits_classification_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),  # chain -> all 'a'
+         ("x", "y"),                           # separate component
+         ("m", "n"), ("n", "m2")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert {got[k] for k in "abcd"} == {"a"}
+    assert {got[k] for k in ("x", "y")} == {"x"}
+    assert {got[k] for k in ("m", "n", "m2")} == {"m"}
+    assert len(got) == 9
