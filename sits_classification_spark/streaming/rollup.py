@@ -106,6 +106,51 @@ def run_file_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_asof_purchase(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    streaming twin of the batch as-of lookup (J2, ``utils/class_run.py:39-61``
+    semantics) — every event is annotated with the latest purchase value
+    at-or-before it for its user, where "before" can be in an EARLIER
+    micro-batch: per-user state carries (ts, value) of the last purchase
+    across batches. Arrow-batched pandas inside; state is one tuple per
+    user, bounded regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double, asof_value double"
+    )
+    state_schema = "last_ts timestamp, last_value double"
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, last_value = state.get if state.exists else (None, None)
+        chunks = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"]).copy()
+            purchase_vals = pdf["value"].where(pdf["event_type"] == "purchase")
+            filled = purchase_vals.ffill()
+            if last_value is not None:
+                filled = filled.fillna(last_value)
+            pdf["asof_value"] = filled
+            is_p = pdf["event_type"] == "purchase"
+            if is_p.any():
+                tail = pdf[is_p].iloc[-1]
+                last_ts, last_value = tail["ts"], float(tail["value"])
+            chunks.append(
+                pdf[["user_id", "event_id", "ts", "event_type", "value", "asof_value"]]
+            )
+        if last_value is not None:
+            state.update((last_ts, last_value))
+        yield pd.concat(chunks) if chunks else pd.DataFrame(
+            columns=["user_id", "event_id", "ts", "event_type", "value", "asof_value"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def incremental_tier_update(
     spark: SparkSession,
     src_dir: str,

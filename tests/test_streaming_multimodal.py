@@ -86,3 +86,72 @@ def test_frame_sample_plan(spark):
     vids = media.filter(F.col("kind") == "video").toPandas()
     want = int(sum(np.ceil(d / 1000.0) for d in vids["duration_ms"]))
     assert len(plan) == want
+
+
+def test_streaming_asof_state_carries_across_batches(spark, sf001, tmpdir_session):
+    """applyInPandasWithState as-of: feed events as 3 time-ordered files
+    (maxFilesPerTrigger=1 => 3 micro-batches); the per-user last-purchase
+    state must carry across batch boundaries so the streamed asof_value
+    matches the batch window computation exactly."""
+    import os
+
+    from pyspark.sql import Window
+    from sits_classification_spark.streaming.rollup import (
+        EVENTS_SCHEMA,
+        streaming_asof_purchase,
+    )
+
+    src = f"{sf001}/events.parquet"
+    ev = spark.read.parquet(src)
+
+    # batch truth: last purchase value at-or-before each event per user
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    truth = {
+        r["event_id"]: r["asof"]
+        for r in ev.select(
+            "event_id", F.last(pv, ignorenulls=True).over(w).alias("asof")
+        ).collect()
+    }
+
+    # 3 sequential time-ordered files
+    stream_dir = os.path.join(tmpdir_session, "asof_stream_src")
+    chunks = ev.orderBy("ts", "event_id").collect()
+    n = len(chunks)
+    for i in range(3):
+        part = chunks[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(part, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(stream_dir)
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    out = streaming_asof_purchase(events)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("asof_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    assert len(got) == n
+    mismatch = [
+        k for k in truth
+        if (truth[k] is None) != (got[k] is None)
+        or (truth[k] is not None and abs(truth[k] - got[k]) > 1e-9)
+    ]
+    assert not mismatch, f"{len(mismatch)} mismatches, first: {mismatch[:5]}"
