@@ -20,6 +20,7 @@ LSH) omit the oracle entry -> rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -506,6 +507,9 @@ def q_noise_restore(spark, sf):
     ev = _read(spark, sf, "events")
     day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
     ev = ev.select("user_id", day.alias("day"), "value", "ts", "event_id")
+    # prefix repartition: one exchange for dedup window + per-doc windows
+    # (same trick as _series; this variant carries the mask column through)
+    ev = ev.repartition("user_id")
     w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     s = (
         ev.withColumn("_rn", F.row_number().over(w))
@@ -961,15 +965,18 @@ def q_embedding_norms(spark, sf):
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
 
-_FIXTURE_PATH = "/root/repo/.fixtures/cascade_sequences_500_v1.parquet"
+_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".fixtures", "cascade_sequences_500_v1.parquet",
+)
 
 
 def _ensure_cascade_fixture() -> str:
     """Deterministic 500-doc sequences table materialized once so the DuckDB
     oracle reads the exact same parquet bytes as the Spark cascade query
-    (generation is splitmix64-deterministic; the file is content-stable)."""
-    import os
-
+    (generation is splitmix64-deterministic; the file is content-stable).
+    Concurrency-safe: each writer uses a pid-unique temp name and the final
+    os.replace is atomic — racing writers install identical bytes."""
     if not os.path.exists(_FIXTURE_PATH):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -986,7 +993,7 @@ def _ensure_cascade_fixture() -> str:
                 ("source", pa.string()),
             ]
         )
-        tmp = _FIXTURE_PATH + ".tmp"
+        tmp = f"{_FIXTURE_PATH}.tmp.{os.getpid()}"
         pq.write_table(pa.Table.from_pandas(pdf, schema=schema), tmp)
         os.replace(tmp, _FIXTURE_PATH)
     return _FIXTURE_PATH
@@ -1545,7 +1552,7 @@ def _trend_sig_oracle_sql() -> str:
                round({crit}, 4) AS t_crit,
                abs({t}) > {crit} AS significant,
                count(value) AS n
-        FROM series GROUP BY doc_id
+        FROM series WHERE value IS NOT NULL GROUP BY doc_id
     """
 
 

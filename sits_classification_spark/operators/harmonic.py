@@ -114,15 +114,20 @@ def harmonic_eval_sql(
     t0: float,
     day_col: str = "day",
     coef: tuple[str, ...] = ("a0", "a1", "b1"),
+    trend: bool = False,
 ) -> str:
     """Textual SQL for evaluating a fitted harmonic at `day_col` — shared
     verbatim between the Spark expression and a SQL oracle so both engines
-    execute the identical op order."""
+    execute the identical op order. With trend=True the last name in `coef`
+    is the linear slope on (day - t0), matching harmonic_design's column
+    order."""
     terms = [coef[0]]
     for k in range(1, modes + 1):
         arg = f"{2 * k}*pi()*({day_col}-{t0})/{period}"
         terms.append(f"{coef[2 * k - 1]}*cos({arg})")
         terms.append(f"{coef[2 * k]}*sin({arg})")
+    if trend:
+        terms.append(f"{coef[2 * modes + 1]}*({day_col}-{t0})")
     return " + ".join(terms)
 
 
@@ -132,13 +137,14 @@ def harmonic_eval_expr(
     t0: float,
     day_col: str = "day",
     coef: tuple[str, ...] = ("a0", "a1", "b1"),
+    trend: bool = False,
 ):
     """W5 second half: evaluate the fitted harmonic curve on arbitrary days
     — the TSI/NRT output stage (``force/skel/dswi_harmonic_tsi.py:116-147``
     evaluates the fitted model on the full date grid; residual/forecast
     output per ``TSA.prm:255-261``). Returns a Column; apply to a frame
     carrying the named coefficient columns and the day column."""
-    return F.expr(harmonic_eval_sql(modes, period, t0, day_col, coef))
+    return F.expr(harmonic_eval_sql(modes, period, t0, day_col, coef, trend))
 
 
 def harmonic_eval(
@@ -149,24 +155,29 @@ def harmonic_eval(
     day_col: str = "day",
     horizon: int = 0,
     step: int = 1,
+    trend: bool = False,
 ) -> DataFrame:
     """Evaluate per-doc fitted harmonics (output of ``harmonic_fit``, array
     `coef`) on an equidistant grid from the doc's own `lo`..`hi + horizon`
     day range. fit_df needs columns (doc_id, coef, lo, hi). Rows past `hi`
-    are flagged ``is_forecast`` (the NRT extrapolation region)."""
+    are flagged ``is_forecast`` (the NRT extrapolation region). `trend`
+    must match the fit: the trailing coef entry is the linear slope."""
     names = ["a0"]
     sel = [F.col("coef")[0].alias("a0")]
     for k in range(1, modes + 1):
         for nm, i in ((f"a{k}", 2 * k - 1), (f"b{k}", 2 * k)):
             names.append(nm)
             sel.append(F.col("coef")[i].alias(nm))
+    if trend:
+        names.append("slope")
+        sel.append(F.col("coef")[2 * modes + 1].alias("slope"))
     g = fit_df.select(
         "doc_id", *sel, "hi",
         F.explode(
             F.sequence("lo", F.col("hi") + horizon, F.lit(step))
         ).alias(day_col),
     )
-    fitted = harmonic_eval_expr(modes, period, t0, day_col, tuple(names))
+    fitted = harmonic_eval_expr(modes, period, t0, day_col, tuple(names), trend)
     return g.select(
         "doc_id", day_col,
         fitted.alias("fitted"),

@@ -117,9 +117,15 @@ def trend_significance(
 ) -> DataFrame:
     """A3 significance decision (``TSA.prm:483-497``): per-series OLS slope,
     t-statistic, critical value at CONF=0.95 for TAIL in {LEFT, TWO, RIGHT},
-    and the boolean verdict. Pure aggregate Column expressions."""
+    and the boolean verdict. Pure aggregate Column expressions.
+
+    Rows with a null y are dropped up front: the textual moment formulas
+    would otherwise mix x-moments over all rows with y-moments over
+    non-null rows, which is not the OLS of the observed pairs (regr_*
+    functions exclude null pairs; this matches them)."""
     if tail not in ("LEFT", "TWO", "RIGHT"):
         raise ValueError(tail)
+    df = df.filter(F.col(y_col).isNotNull())
     t = t_stat_sql(x_col, y_col)
     crit = t_crit_sql(f"count({y_col})", tail)
     if tail == "TWO":

@@ -57,7 +57,20 @@ class Engine:
 
     def read_tier(self, tier: str) -> DataFrame:
         assert tier in TIERS, tier
+        self._recover_retention_swap(tier)
         return self.spark.read.parquet(f"{self.warehouse}/{tier}")
+
+    def _recover_retention_swap(self, tier: str) -> None:
+        """Complete an apply_retention swap interrupted between its two
+        os.replace calls: if the tier dir is missing but the fully-written
+        trimmed copy exists, install it (the tmp dir is only ever a
+        complete write — Spark commits it before the swap starts)."""
+        import os
+
+        path = f"{self.warehouse}/{tier}"
+        tmp = f"{path}__retain_tmp"
+        if not os.path.isdir(path) and os.path.isdir(tmp):
+            os.replace(tmp, path)
 
     def tier_long(self, tier: str) -> DataFrame:
         """Nested tier -> long form (doc_id, source, bucket, value, token)."""
@@ -136,28 +149,39 @@ class Engine:
             F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
         )
         return harmonic_eval(
-            fit.join(bounds, "doc_id"), modes=modes, horizon=horizon, step=step
+            fit.join(bounds, "doc_id"), modes=modes, horizon=horizon, step=step,
+            trend=trend,
         )
 
-    def noise_screen(
-        self, tier: str, iterative: bool = False, mask_col: str | None = None
-    ) -> DataFrame:
-        """F2 noise screen over a tier series: single-pass residual screen by
-        default, grouped-kernel fixpoint with iterative=True; with mask_col
-        set, applies the BELOW_NOISE restore to flagged observations."""
-        from sits_classification_spark.operators.harmonic import (
-            below_noise_restore,
-            noise_filter,
-        )
+    def noise_screen(self, tier: str, iterative: bool = True) -> DataFrame:
+        """F2 noise screen over a tier series: the grouped-kernel fixpoint
+        (drop worst outlier per pass) by default; iterative=False runs the
+        single-pass Column-expression form (one window pass, all residuals
+        judged against one rmse). For the BELOW_NOISE restore of externally
+        masked observations, call operators.harmonic.below_noise_restore on
+        a long frame that carries the mask column — tiers have none."""
+        from pyspark.sql import Window
+        from sits_classification_spark.operators.harmonic import noise_filter
 
         long = self.tier_long(tier)
-        if mask_col is not None:
-            return below_noise_restore(
-                long, below_noise=self.cfg.below_noise, mask_col=mask_col,
-                day_col="bucket",
+        if iterative:
+            return noise_filter(
+                long, above_noise=self.cfg.above_noise, day_col="bucket"
             )
-        return noise_filter(
-            long, above_noise=self.cfg.above_noise, day_col="bucket"
+        w = Window.partitionBy("doc_id").orderBy("bucket")
+        pv, nv = F.lag("value").over(w), F.lead("value").over(w)
+        pb, nb = F.lag("bucket").over(w), F.lead("bucket").over(w)
+        interp = pv + (nv - pv) * ((F.col("bucket") - pb) / (nb - pb))
+        long = long.withColumn("resid", F.abs(F.col("value") - interp))
+        rmse = F.sqrt(
+            F.avg(F.col("resid") * F.col("resid")).over(
+                Window.partitionBy("doc_id")
+            )
+        )
+        return long.withColumn(
+            "kept",
+            F.col("resid").isNull()
+            | (F.col("resid") <= self.cfg.above_noise * rmse),
         )
 
     def phenology(self, tier: str, variant: str = "threshold") -> DataFrame:
@@ -180,9 +204,15 @@ class Engine:
     ) -> DataFrame:
         """Retention policy: rewrite `tier` keeping only points with bucket
         >= cutoff (drop_chunks analog). The trimmed tier is written beside
-        the old one and atomically swapped in, a lineage row per partition
-        records the action (input_snapshot_id = 'retention<cutoff'), and the
-        new tier frame is returned. Map-only — no shuffle, layout preserved.
+        the old one and swapped in via two dir renames; a crash between the
+        renames is healed by _recover_retention_swap (the trimmed copy is
+        always complete before the swap starts). A crash after the swap but
+        before the lineage append loses only the advisory lineage row — the
+        data state is already consistent. Assumes a rename-capable warehouse
+        filesystem (local/HDFS); on object stores swap via table-format
+        metadata (an Iceberg snapshot) instead. Lineage records the action
+        as input_snapshot_id = 'retention<cutoff'. Map-only — no shuffle,
+        layout preserved.
         """
         import os
         import shutil
@@ -190,6 +220,7 @@ class Engine:
         from sits_classification_spark import lineage as L
         from sits_classification_spark.plans.cascade import stage_retention
 
+        self._recover_retention_swap(tier)
         path = f"{self.warehouse}/{tier}"
         tmp = f"{path}__retain_tmp"
         old = f"{path}__retired"

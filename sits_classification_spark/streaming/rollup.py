@@ -125,26 +125,29 @@ def streaming_asof_purchase(events: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state: GroupState):
         last_ts, last_value = state.get if state.exists else (None, None)
-        chunks = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"]).copy()
-            purchase_vals = pdf["value"].where(pdf["event_type"] == "purchase")
-            filled = purchase_vals.ffill()
-            if last_value is not None:
-                filled = filled.fillna(last_value)
-            pdf["asof_value"] = filled
-            is_p = pdf["event_type"] == "purchase"
-            if is_p.any():
-                tail = pdf[is_p].iloc[-1]
-                last_ts, last_value = tail["ts"], float(tail["value"])
-            chunks.append(
-                pdf[["user_id", "event_id", "ts", "event_type", "value", "asof_value"]]
+        # a group larger than the Arrow batch size arrives as SEVERAL chunks
+        # in unspecified order — concatenate and sort ONCE, or an event could
+        # see a "future" purchase from an earlier-processed chunk and the
+        # state could record a chronologically stale purchase
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame(
+                columns=["user_id", "event_id", "ts", "event_type", "value", "asof_value"]
             )
+            return
+        pdf = pdf.sort_values(["ts", "event_id"]).copy()
+        purchase_vals = pdf["value"].where(pdf["event_type"] == "purchase")
+        filled = purchase_vals.ffill()
+        if last_value is not None:
+            filled = filled.fillna(last_value)
+        pdf["asof_value"] = filled
+        is_p = pdf["event_type"] == "purchase"
+        if is_p.any():
+            tail = pdf[is_p].iloc[-1]
+            last_ts, last_value = tail["ts"], float(tail["value"])
         if last_value is not None:
             state.update((last_ts, last_value))
-        yield pd.concat(chunks) if chunks else pd.DataFrame(
-            columns=["user_id", "event_id", "ts", "event_type", "value", "asof_value"]
-        )
+        yield pdf[["user_id", "event_id", "ts", "event_type", "value", "asof_value"]]
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
