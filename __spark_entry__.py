@@ -221,7 +221,7 @@ def q_trend_sig(spark, sf):
     out = trend_significance(s, tail="TWO")
     return out.select(
         "doc_id",
-        F.round("slope", 8).alias("slope"),
+        F.round("slope", 7).alias("slope"),
         F.round("t_stat", 5).alias("t_stat"),
         F.round("t_crit", 4).alias("t_crit"),
         "significant",
@@ -1547,7 +1547,7 @@ def _trend_sig_oracle_sql() -> str:
     return f"""
         WITH series AS ({_SERIES_SQL})
         SELECT doc_id,
-               round({mxy}/{mxx}, 8) AS slope,
+               round({mxy}/{mxx}, 7) AS slope,
                round({t}, 5) AS t_stat,
                round({crit}, 4) AS t_crit,
                abs({t}) > {crit} AS significant,
