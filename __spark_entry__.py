@@ -942,6 +942,20 @@ def q_ann_recall(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF-Flat ANN: 16 deterministic centroids, probe the 4 nearest cells,
+    exact cosine inside them — the second ANN family next to SRP-LSH."""
+    from sits_classification_spark.operators.similarity import ivf_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = ivf_topk(e, q, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs, SRP-LSH blocked (4 planes => 16
     buckets), hot buckets dropped before the self-join."""
@@ -1198,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_recall": q_ann_recall,
+        "ivf_topk": q_ivf_topk,
         "embedding_norms": q_embedding_norms,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
@@ -1672,6 +1687,47 @@ def _ann_lsh_topk_oracle_sql(n_planes: int = 4, dim: int = 64, k: int = 10) -> s
     """
 
 
+def _ivf_topk_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """IVF-Flat re-derivation: same deterministic md5-keyed centroids, same
+    vv - 2*dot + cc distance text, same (dist, cid) tie order."""
+    dist = (
+        "(list_dot_product({a}, {a}) - 2*list_dot_product({a}, cent.cvec)"
+        " + list_dot_product(cent.cvec, cent.cvec))"
+    )
+    return f"""
+        WITH c AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cvec FROM (
+                   SELECT vec_id, v,
+                          CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS ckey
+                   FROM c) ORDER BY ckey, vec_id LIMIT {n_centroids}),
+        assigned AS (SELECT vec_id, v, cell FROM (
+            SELECT c.vec_id, c.v, cent.cid AS cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                                      ORDER BY {dist.format(a='c.v')}, cent.cid) AS rn
+            FROM c CROSS JOIN cent) WHERE rn = 1),
+        probes AS (SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {dist.format(a='q.v')}, cent.cid) AS rn
+            FROM c q CROSS JOIN cent WHERE q.vec_id = 0) WHERE rn <= {nprobe}),
+        scored AS (SELECT p.query_id, a.vec_id,
+                          list_dot_product(a.v, p.qv)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(p.qv, p.qv))) AS cs
+                   FROM assigned a JOIN probes p USING (cell))
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rank FROM (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id) AS rank
+            FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh_exprs = ", ".join(
         f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
@@ -2126,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embed_neardup_oracle_sql(),
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
+        "ivf_topk": _ivf_topk_oracle_sql(),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

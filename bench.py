@@ -98,6 +98,8 @@ HEADLINE = [
     "cosine_topk",
     "embedding_near_dups",
     "ann_recall",
+    "ivf_topk",
+    "dedup_clusters",
     "doc_quality",
 ]
 

@@ -16,7 +16,8 @@ gap-fill+resample, RBF smoothing, harmonic fit, Gorilla compression).
 """
 
 from sits_classification_spark.config import EngineConfig
+from sits_classification_spark.plans.engine import Engine
 from sits_classification_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark"]
+__all__ = ["Engine", "EngineConfig", "get_spark"]
 __version__ = "0.1.0"

@@ -173,3 +173,42 @@ def doy_shift(df: DataFrame, max_shift: int = 16, seed: int = 4) -> DataFrame:
         return out
 
     return _apply(df, fn)
+
+
+def compose_augmentations(
+    df: DataFrame,
+    p_scale: float = 0.5,
+    p_shift: float = 0.5,
+    p_zero: float = 0.3,
+    seed: int = 11,
+) -> DataFrame:
+    """W13 composition (``pytorch/utils/augmentation.py:289-395``): each doc
+    draws which augmentations apply this pass — scaling, DOY shift, zero-out
+    — from its own deterministic RNG, then the chosen ops run in the
+    reference's fixed order. One mapInPandas pass; per-doc reproducibility
+    holds regardless of partitioning or retries."""
+
+    def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
+        rng = _doc_rng(doc_id, seed)
+        do_scale, do_shift, do_zero = rng.random(3) < (p_scale, p_shift, p_zero)
+        out = t
+        if do_scale:
+            f = rng.uniform(0.9, 1.1)
+            out = out.copy()
+            m = out != -9999
+            out[m] = np.round(out[m] * f).astype(np.int64)
+        if do_shift:
+            s = int(rng.integers(-16, 17))
+            shifted = np.full_like(out, -9999)
+            if s >= 0:
+                shifted[s:] = out[: out.size - s]
+            else:
+                shifted[:s] = out[-s:]
+            out = shifted
+        if do_zero:
+            out = out.copy()
+            m = (out != -9999) & (rng.random(out.size) < 0.1)
+            out[m] = 0
+        return out
+
+    return _apply(df, fn)

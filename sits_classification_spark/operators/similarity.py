@@ -180,6 +180,97 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic IVF-Flat coarse quantizer: the k corpus vectors with
+    the smallest md5-derived key act as centroids — no iterative training,
+    so the cell structure is reproducible anywhere (including a SQL oracle).
+    At 100 TB swap in k-means||-trained centroids; the assignment/probe
+    plan below is unchanged. `orderBy().limit(k)` compiles to
+    TakeOrderedAndProject — no global sort materializes."""
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+            key.alias("ckey"),
+        )
+        .orderBy("ckey", "cid")
+        .limit(k)
+        .select("cid", "cvec")
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """||a-b||² as vv - 2*dot + cc (the form a SQL oracle mirrors with
+    list_dot_product)."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat ANN: assign every corpus vector to its nearest centroid
+    (cell), probe only the query's `nprobe` nearest cells, exact cosine
+    inside the probed cells.
+
+    Scale path: cell assignment is a broadcast join against k centroid rows
+    + one window (at write time the cell id is persisted and the table
+    partitioned by it -> per-query partition pruning); the probe join
+    touches ~nprobe/k of the corpus. Recall grows with nprobe; the exact
+    baseline is cosine_topk."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    corpus = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    ).withColumn("vn", _norm(F.col("vd")))
+    wassign = Window.partitionBy(id_col).orderBy("dist", "cid")
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist(F.col("vd"), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(wassign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "vd", "vn", F.col("cid").alias("cell"))
+    )
+    q = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qd"),
+    ).withColumn("qn", _norm(F.col("qd")))
+    wprobe = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist(F.col("qd"), F.col("cvec")))
+        .withColumn("_rn", F.row_number().over(wprobe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qd", "qn", F.col("cid").alias("cell"))
+    )
+    scored = assigned.join(F.broadcast(probes), on="cell").select(
+        "query_id",
+        F.col(id_col),
+        (_dot(F.col("vd"), F.col("qd")) / (F.col("vn") * F.col("qn"))).alias(
+            "cos_sim"
+        ),
+    )
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(wrank)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

@@ -193,3 +193,26 @@ def test_dedup_clusters_chain_and_components(spark):
     assert {got[k] for k in ("x", "y")} == {"x"}
     assert {got[k] for k in ("m", "n", "m2")} == {"m"}
     assert len(got) == 9
+
+
+def test_ivf_topk_structure_and_recall(spark, sf01):
+    """IVF-Flat: every corpus vector lands in exactly one of the 16 cells,
+    and probing 4/16 cells recovers a reasonable share of the exact top-10
+    (the nearest cell always contains the query itself -> rank 1 is the
+    query, cos 1.0)."""
+    from sits_classification_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    assert ivf_centroids(e, 16).count() == 16
+    q = e.filter(F.col("vec_id") == 0)
+    got = ivf_topk(e, q, k=10, n_centroids=16, nprobe=4).collect()
+    assert len(got) == 10
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["vec_id"] == 0 and abs(top["cos_sim"] - 1.0) < 1e-9
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    hits = len(exact & {r["vec_id"] for r in got})
+    assert hits >= 3  # 4/16 cells probed; random 64-dim corpus

@@ -202,3 +202,19 @@ def test_write_predictions_csv_roundtrip(spark, tmpdir_session):
 
     with pytest.raises(ValueError):
         write_predictions_csv(df.drop("x"), out)
+
+
+def test_compose_augmentations_deterministic_and_varied(spark):
+    from sits_classification_spark.datagen import generate_spark
+    from sits_classification_spark.operators.augment import compose_augmentations
+
+    seq = generate_spark(spark, 200)
+    a = compose_augmentations(seq, seed=11).orderBy("doc_id").collect()
+    b = compose_augmentations(seq, seed=11).orderBy("doc_id").collect()
+    assert [r["tokens"] for r in a] == [r["tokens"] for r in b]
+    orig = {r["doc_id"]: r["tokens"] for r in seq.collect()}
+    changed = sum(1 for r in a if r["tokens"] != orig[r["doc_id"]])
+    untouched = sum(1 for r in a if r["tokens"] == orig[r["doc_id"]])
+    assert changed > 50 and untouched > 5  # probabilistic mix of ops
+    c = compose_augmentations(seq, seed=12).orderBy("doc_id").collect()
+    assert [r["tokens"] for r in a] != [r["tokens"] for r in c]
