@@ -888,6 +888,36 @@ def q_dedup_clusters(spark, sf):
     return dedup_clusters(pairs)
 
 
+def q_corpus_clean(spark, sf):
+    """End-to-end training-data cleaning pass, the composition a
+    pre-training corpus job runs: quality screen (>= 30 tokens) AND
+    exact-content canonical (min doc_id per md5(text)) AND near-dup
+    canonical (not in any LSH cluster, or the cluster's min doc_id).
+    Output: the surviving corpus."""
+    from sits_classification_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from sits_classification_spark.operators.text import words
+
+    d = _read(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(d, k=4, bands=2, max_bucket=1000)
+    )
+    return (
+        d.withColumn("n_tokens", F.size(words("text")))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .join(clusters, "doc_id", "left")
+        .filter(
+            (F.col("n_tokens") >= 30)
+            & (F.col("doc_id") == F.col("keeper"))
+            & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        )
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )
+
+
 def q_simhash16(spark, sf):
     d = _read(spark, sf, "documents")
     return simhash(d, nbits=16)
@@ -1207,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -2165,6 +2196,27 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(w) > 0)
         """,
         "minhash_lsh_pairs": _mh_pairs_sql(mh_exprs),
+        "corpus_clean": f"""
+            WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(doc, lbl) AS (
+                SELECT src AS doc, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS doc, reach.lbl
+                FROM reach JOIN edges e ON reach.doc = e.src),
+            clusters AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+                         FROM reach GROUP BY doc),
+            d AS (SELECT doc_id, len({_WORDS}) AS n_tokens,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                  FROM documents)
+            SELECT d.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM d LEFT JOIN clusters c USING (doc_id)
+            WHERE n_tokens >= 30 AND d.doc_id = keeper
+              AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+        """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),
             edges AS (
