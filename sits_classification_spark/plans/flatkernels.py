@@ -67,6 +67,14 @@ def flat_interp(
     Requires every doc to have >=1 point (guaranteed by flat_decode).
     Returns (grid_offsets, grid_days, grid_values).
     """
+    if offsets.size <= 1:
+        # a batch where every doc failed the decode screen: np.interp on an
+        # empty sample-point array raises, so short-circuit (hypothesis-found)
+        return (
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
     starts, ends = offsets[:-1], offsets[1:] - 1
     gmin, gmax = days[starts], days[ends]
     glen = (gmax - gmin) // int_day + 1
