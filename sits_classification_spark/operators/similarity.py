@@ -207,10 +207,26 @@ def ivf_centroids(
     )
 
 
-def _sqdist(a: Column, b: Column) -> Column:
-    """||a-b||² as vv - 2*dot + cc (the form a SQL oracle mirrors with
-    list_dot_product)."""
-    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+def _centroid_dists(vd: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Array of ||v - c||² per centroid (cid-ascending order), each as
+    vv - 2*dot(v, c_literal) + cc_literal. The dot is an array fold with
+    literal coefficients (codegen-friendly, same pattern as srp_bucket);
+    cc is a Python-side constant — same sequential IEEE sum the SQL oracle's
+    list_dot_product performs."""
+    vv = _dot(vd, vd)
+    dists = []
+    for _cid, cv in cents:
+        coefs = F.array(*[F.lit(c) for c in cv])
+        dot = F.aggregate(
+            F.zip_with(vd, coefs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cc = 0.0
+        for c in cv:
+            cc += c * c
+        dists.append(vv - 2 * dot + F.lit(cc))
+    return F.array(*dists)
 
 
 def ivf_topk(
@@ -226,37 +242,56 @@ def ivf_topk(
     (cell), probe only the query's `nprobe` nearest cells, exact cosine
     inside the probed cells.
 
-    Scale path: cell assignment is a broadcast join against k centroid rows
-    + one window (at write time the cell id is persisted and the table
-    partitioned by it -> per-query partition pruning); the probe join
-    touches ~nprobe/k of the corpus. Recall grows with nprobe; the exact
-    baseline is cosine_topk."""
+    Scale posture: the k centroids are collected to the driver (k tiny —
+    the coarse quantizer ships with the plan, the FAISS pattern) so cell
+    assignment is a MAP-ONLY argmin expression: no join, no shuffle — at
+    write time the cell id is persisted and the table partitioned by it,
+    giving per-query partition pruning. Ties break by ascending cid (the
+    distance array is cid-ordered and array_position takes the first
+    minimum), matching the oracle's ORDER BY dist, cid. The only shuffle
+    is the final top-k window over the probed candidates. Recall grows
+    with nprobe; the exact baseline is cosine_topk."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(df, n_centroids, vec_col, id_col)
+    cents = sorted(
+        (r["cid"], list(r["cvec"]))
+        for r in ivf_centroids(df, n_centroids, vec_col, id_col).collect()
+    )
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+
+    def cell_of(vd: Column) -> Column:
+        d = _centroid_dists(vd, cents)
+        return F.element_at(cid_arr, F.array_position(d, F.array_min(d)).cast("int"))
+
     corpus = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
-    ).withColumn("vn", _norm(F.col("vd")))
-    wassign = Window.partitionBy(id_col).orderBy("dist", "cid")
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _sqdist(F.col("vd"), F.col("cvec")))
-        .withColumn("_rn", F.row_number().over(wassign))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "vd", "vn", F.col("cid").alias("cell"))
     )
+    assigned = corpus.select(
+        id_col, "vd", cell_of(F.col("vd")).alias("cell")
+    ).withColumn("vn", _norm(F.col("vd")))
     q = query_df.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qd"),
-    ).withColumn("qn", _norm(F.col("qd")))
-    wprobe = Window.partitionBy("query_id").orderBy("dist", "cid")
+    )
+    # nprobe nearest cells: sort (dist, cid) structs, take the prefix
+    qd = F.col("qd")
+    dstructs = F.zip_with(
+        _centroid_dists(qd, cents),
+        cid_arr,
+        lambda d, c: F.struct(d.alias("d"), c.alias("cid")),
+    )
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _sqdist(F.col("qd"), F.col("cvec")))
-        .withColumn("_rn", F.row_number().over(wprobe))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qd", "qn", F.col("cid").alias("cell"))
+        q.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dstructs), 1, nprobe), lambda s: s["cid"]
+                )
+            ),
+        )
+        .select("query_id", "qd", "cell")
+        .withColumn("qn", _norm(F.col("qd")))
     )
     scored = assigned.join(F.broadcast(probes), on="cell").select(
         "query_id",
