@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -207,26 +209,33 @@ def ivf_centroids(
     )
 
 
-def _centroid_dists(vd: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Array of ||v - c||² per centroid (cid-ascending order), each as
-    vv - 2*dot(v, c_literal) + cc_literal. The dot is an array fold with
-    literal coefficients (codegen-friendly, same pattern as srp_bucket);
-    cc is a Python-side constant — same sequential IEEE sum the SQL oracle's
-    list_dot_product performs."""
-    vv = _dot(vd, vd)
-    dists = []
-    for _cid, cv in cents:
-        coefs = F.array(*[F.lit(c) for c in cv])
-        dot = F.aggregate(
-            F.zip_with(vd, coefs, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        cc = 0.0
-        for c in cv:
-            cc += c * c
-        dists.append(vv - 2 * dot + F.lit(cc))
-    return F.array(*dists)
+def _cell_udfs(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Vectorized (Arrow-batched) centroid assignment: one numpy matmul per
+    batch against the (k, dim) centroid matrix — 16 array-fold expressions
+    per row evaluate interpreted and measured ~5x slower than the whole
+    query. argmin over (dist, cid) with cid-ascending columns reproduces
+    the oracle's ORDER BY dist, cid tie rule (np argmin/lexsort take the
+    first minimum). Returns (cell_udf, probe_udf)."""
+    C = np.array([cv for _cid, cv in cents], dtype=np.float64)  # (k, dim)
+    cids = np.array([cid for cid, _cv in cents], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def _dists(emb: pd.Series) -> "np.ndarray":
+        V = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        # vv is constant per row — irrelevant for per-row argmin/argsort
+        return cc - 2.0 * (V @ C.T)
+
+    @F.pandas_udf("long")
+    def cell_udf(emb: pd.Series) -> pd.Series:
+        return pd.Series(cids[np.argmin(_dists(emb), axis=1)])
+
+    @F.pandas_udf("array<long>")
+    def probe_udf(emb: pd.Series) -> pd.Series:
+        d = _dists(emb)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
+    return cell_udf, probe_udf
 
 
 def ivf_topk(
@@ -244,53 +253,31 @@ def ivf_topk(
 
     Scale posture: the k centroids are collected to the driver (k tiny —
     the coarse quantizer ships with the plan, the FAISS pattern) so cell
-    assignment is a MAP-ONLY argmin expression: no join, no shuffle — at
-    write time the cell id is persisted and the table partitioned by it,
-    giving per-query partition pruning. Ties break by ascending cid (the
-    distance array is cid-ordered and array_position takes the first
-    minimum), matching the oracle's ORDER BY dist, cid. The only shuffle
-    is the final top-k window over the probed candidates. Recall grows
-    with nprobe; the exact baseline is cosine_topk."""
+    assignment is MAP-ONLY: an Arrow-batched numpy matmul against the
+    centroid matrix — no join, no shuffle. At write time the cell id is
+    persisted and the table partitioned by it, giving per-query partition
+    pruning. The only shuffle is the final top-k window over the probed
+    candidates. Recall grows with nprobe; the exact baseline is
+    cosine_topk."""
     from pyspark.sql import Window
 
     cents = sorted(
         (r["cid"], list(r["cvec"]))
         for r in ivf_centroids(df, n_centroids, vec_col, id_col).collect()
     )
-    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    cell_udf, probe_udf = _cell_udfs(cents, nprobe)
 
-    def cell_of(vd: Column) -> Column:
-        d = _centroid_dists(vd, cents)
-        return F.element_at(cid_arr, F.array_position(d, F.array_min(d)).cast("int"))
-
-    corpus = df.select(
+    assigned = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
-    )
-    assigned = corpus.select(
-        id_col, "vd", cell_of(F.col("vd")).alias("cell")
+        cell_udf(F.col(vec_col)).alias("cell"),
     ).withColumn("vn", _norm(F.col("vd")))
-    q = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qd"),
-    )
-    # nprobe nearest cells: sort (dist, cid) structs, take the prefix
-    qd = F.col("qd")
-    dstructs = F.zip_with(
-        _centroid_dists(qd, cents),
-        cid_arr,
-        lambda d, c: F.struct(d.alias("d"), c.alias("cid")),
-    )
     probes = (
-        q.withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(dstructs), 1, nprobe), lambda s: s["cid"]
-                )
-            ),
+        query_df.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qd"),
+            F.explode(probe_udf(F.col(vec_col))).alias("cell"),
         )
-        .select("query_id", "qd", "cell")
         .withColumn("qn", _norm(F.col("qd")))
     )
     scored = assigned.join(F.broadcast(probes), on="cell").select(
