@@ -201,8 +201,8 @@ def q_trend_user(spark, sf):
     than rounding can absorb."""
     s = _series(spark, sf)
     return s.groupBy("doc_id").agg(
-        F.expr(f"round({_TREND_SLOPE}, 8)").alias("slope"),
-        F.expr(f"round(avg(value) - {_TREND_SLOPE}*avg(day), 5)").alias("intercept"),
+        F.expr(f"round({_TREND_SLOPE}, 7)").alias("slope"),
+        F.expr(f"round(avg(value) - {_TREND_SLOPE}*avg(day), 3)").alias("intercept"),
         F.expr(
             "round(pow(avg(day*value) - avg(day)*avg(value), 2)"
             " / ((avg(day*day) - avg(day)*avg(day)) * (avg(value*value) - avg(value)*avg(value))), 8)"
@@ -736,10 +736,14 @@ def q_spectral_index(spark, sf):
         F.col("l_quantity"), F.col("l_discount"),
     )
     out = value_clamp(li.select("l_orderkey", "l_linenumber", idx.alias("idx")), "idx", 5.0)
+    # explicit floor(x*1e4 + 0.5) instead of round(): the 2-decimal money
+    # inputs make many idx values land EXACTLY on decimal boundaries, where
+    # Spark's BigDecimal HALF_UP and DuckDB's scaled-double round() disagree
+    # by construction; this expression is the same IEEE ops in both engines
     return out.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        F.round("idx", 6).alias("idx"),
+        F.floor(F.col("idx") * 10000 + F.lit(0.5)).cast("long").alias("idx_e4"),
         scale_int16(F.col("idx"), 1000).cast("long").alias("idx_i16"),
     )
 
@@ -793,6 +797,29 @@ def q_revenue_by_nation(spark, sf):
         .agg(
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_part_supplier_margin(spark, sf):
+    """TPC-H Q9 shape: lineitem joined to part/supplier/nation (all dims
+    broadcast, fact never shuffles before the aggregate); margin =
+    discounted revenue minus retail cost, by supplier nation x part brand."""
+    li = _read(spark, sf, "lineitem")
+    p = _read(spark, sf, "part")
+    s = _read(spark, sf, "supplier")
+    n = _read(spark, sf, "nation")
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(margin), 4).alias("margin"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
@@ -1229,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
+        "part_supplier_margin": q_part_supplier_margin,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
@@ -1833,8 +1861,8 @@ def oracle_sql() -> dict[str, str]:
         "trend_user": f"""
             WITH series AS ({_SERIES_SQL})
             SELECT doc_id,
-                   round({_TREND_SLOPE}, 8) AS slope,
-                   round(avg(value) - {_TREND_SLOPE}*avg(day), 5) AS intercept,
+                   round({_TREND_SLOPE}, 7) AS slope,
+                   round(avg(value) - {_TREND_SLOPE}*avg(day), 3) AS intercept,
                    round(pow(avg(day*value) - avg(day)*avg(value), 2)
                          / ((avg(day*day) - avg(day)*avg(day)) * (avg(value*value) - avg(value)*avg(value))), 8) AS r2,
                    CAST(count(value) AS BIGINT) AS n
@@ -1936,10 +1964,13 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT doc_id, day, value,
                          value - lag(value) OVER (PARTITION BY doc_id ORDER BY day) AS diff
                   FROM series),
-            chg AS (SELECT doc_id,
-                           round(arg_max(diff, abs(diff)), 6) AS change,
-                           CAST(arg_max(day, abs(diff)) AS BIGINT) AS change_bucket
-                    FROM d WHERE diff IS NOT NULL GROUP BY doc_id),
+            chg AS (SELECT doc_id, round(diff, 6) AS change,
+                           CAST(day AS BIGINT) AS change_bucket
+                    FROM (SELECT doc_id, diff, day,
+                                 row_number() OVER (PARTITION BY doc_id
+                                                    ORDER BY abs(diff) DESC, day ASC) AS rn
+                          FROM d WHERE diff IS NOT NULL)
+                    WHERE rn = 1),
             sl AS (SELECT doc_id, round(regr_slope(value, day), 8) AS slope_full,
                           count(value) AS n
                    FROM series GROUP BY doc_id),
@@ -2114,7 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spectral_index": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-                   round(idx, 6) AS idx,
+                   CAST(floor(idx*10000 + 0.5) AS BIGINT) AS idx_e4,
                    CAST(CAST(round(idx * 1000) AS SMALLINT) AS BIGINT) AS idx_i16
             FROM (SELECT l_orderkey, l_linenumber,
                          (l_extendedprice/1000 + l_tax) / (l_quantity + l_discount) AS idx
@@ -2148,6 +2179,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name, r_name
+        """,
+        "part_supplier_margin": """
+            SELECT n_name, p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity), 4) AS margin,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, p_brand
         """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rn

@@ -32,13 +32,19 @@ def cat_analysis(
     with_diff = df.withColumn("_prev", F.lag(value_col).over(w)).withColumn(
         "_diff", F.col(value_col) - F.col("_prev")
     )
-    # argmax |diff| via max of struct(|diff|, bucket, diff)
+    # argmax |diff| via min of struct(-|diff|, bucket, diff): greatest
+    # magnitude, ties broken by the EARLIEST bucket — an explicit rule both
+    # engines reproduce (arg_max ties are engine-arbitrary; measured flips
+    # at sf0.1)
     agg = with_diff.groupBy(*keys).agg(
-        F.max(
-            F.struct(
-                F.abs(F.col("_diff")).alias("mag"),
-                F.col(bucket_col).cast("double").alias("at"),
-                F.col("_diff").alias("signed"),
+        F.min(
+            F.when(
+                F.col("_diff").isNotNull(),
+                F.struct(
+                    (-F.abs(F.col("_diff"))).alias("negmag"),
+                    F.col(bucket_col).cast("double").alias("at"),
+                    F.col("_diff").alias("signed"),
+                ),
             )
         ).alias("_chg"),
         F.regr_slope(v, b).alias("slope_full"),
