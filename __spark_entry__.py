@@ -727,7 +727,7 @@ def q_spectral_index(spark, sf):
     """C1 spectral-index arithmetic: the DSWI ratio shape
     (b1+b2)/(b3+b4) (udf_block.py:52) over lineitem numeric columns, with
     the F11 |v|<5 clamp (dswi_harmonic_tsi.py:123-124) and C2 scale/round."""
-    from sits_classification_spark.functions.scalar import dswi, scale_int16
+    from sits_classification_spark.functions.scalar import dswi
     from sits_classification_spark.operators.screens import value_clamp
 
     li = _read(spark, sf, "lineitem")
@@ -744,7 +744,10 @@ def q_spectral_index(spark, sf):
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         F.floor(F.col("idx") * 10000 + F.lit(0.5)).cast("long").alias("idx_e4"),
-        scale_int16(F.col("idx"), 1000).cast("long").alias("idx_i16"),
+        # same boundary hazard as idx_e4: the int16 scale-and-round (C2,
+        # scale_int16) is compared through the shared floor text; values are
+        # identical for the positive idx domain
+        F.floor(F.col("idx") * 1000 + F.lit(0.5)).cast("long").alias("idx_i16"),
     )
 
 
@@ -1751,9 +1754,12 @@ def _ivf_topk_oracle_sql(
 ) -> str:
     """IVF-Flat re-derivation: same deterministic md5-keyed centroids, same
     vv - 2*dot + cc distance text, same (dist, cid) tie order."""
+    # quantized to integer micro-units, matching the Spark UDF's
+    # np.floor(d*1e6 + 0.5) — near-ties become exact ties both sides
     dist = (
-        "(list_dot_product({a}, {a}) - 2*list_dot_product({a}, cent.cvec)"
-        " + list_dot_product(cent.cvec, cent.cvec))"
+        "CAST(floor((list_dot_product({a}, {a})"
+        " - 2*list_dot_product({a}, cent.cvec)"
+        " + list_dot_product(cent.cvec, cent.cvec))*1000000 + 0.5) AS BIGINT)"
     )
     return f"""
         WITH c AS (SELECT vec_id,
@@ -2146,7 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_index": """
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
                    CAST(floor(idx*10000 + 0.5) AS BIGINT) AS idx_e4,
-                   CAST(CAST(round(idx * 1000) AS SMALLINT) AS BIGINT) AS idx_i16
+                   CAST(floor(idx*1000 + 0.5) AS BIGINT) AS idx_i16
             FROM (SELECT l_orderkey, l_linenumber,
                          (l_extendedprice/1000 + l_tax) / (l_quantity + l_discount) AS idx
                   FROM lineitem)

@@ -53,17 +53,41 @@ def _apply(df: DataFrame, fn) -> DataFrame:
     return df.select("doc_id", "source", "tokens").mapInPandas(run, schema=AUG_SCHEMA)
 
 
+
+
+def _scale_kernel(t, rng, lo, hi):
+    f = rng.uniform(lo, hi)
+    out = t.copy()
+    m = out != -9999
+    out[m] = np.round(out[m] * f).astype(np.int64)
+    return out
+
+
+def _shift_kernel(t, rng, max_shift):
+    # clamp to the doc length: a drawn shift past the end would broadcast
+    # an empty slice into a non-empty one and crash the whole task
+    s = int(rng.integers(-max_shift, max_shift + 1))
+    s = max(-t.size, min(t.size, s))
+    out = np.full_like(t, -9999)
+    if s >= 0:
+        out[s:] = t[: t.size - s]
+    else:
+        out[:s] = t[-s:]
+    return out
+
+
+def _zero_kernel(t, rng, frac):
+    out = t.copy()
+    m = (out != -9999) & (rng.random(out.size) < frac)
+    out[m] = 0
+    return out
+
 def random_scale(df: DataFrame, lo: float = 0.9, hi: float = 1.1, seed: int = 1) -> DataFrame:
     """Per-doc multiplicative scaling (augmentation.py:38-69 simplified to
     one factor per doc; nodata positions untouched)."""
 
     def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
-        rng = _doc_rng(doc_id, seed)
-        f = rng.uniform(lo, hi)
-        out = t.copy()
-        m = out != -9999
-        out[m] = np.round(out[m] * f).astype(np.int64)
-        return out
+        return _scale_kernel(t, _doc_rng(doc_id, seed), lo, hi)
 
     return _apply(df, fn)
 
@@ -73,11 +97,7 @@ def random_zero_out(df: DataFrame, frac: float = 0.1, seed: int = 2) -> DataFram
     (augmentation.py:212-249)."""
 
     def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
-        rng = _doc_rng(doc_id, seed)
-        out = t.copy()
-        m = (out != -9999) & (rng.random(out.size) < frac)
-        out[m] = 0
-        return out
+        return _zero_kernel(t, _doc_rng(doc_id, seed), frac)
 
     return _apply(df, fn)
 
@@ -163,14 +183,7 @@ def doy_shift(df: DataFrame, max_shift: int = 16, seed: int = 4) -> DataFrame:
     nodata fill — the token-stream analog of augmentation.py:93-158)."""
 
     def fn(t: np.ndarray, doc_id: str) -> np.ndarray:
-        rng = _doc_rng(doc_id, seed)
-        s = int(rng.integers(-max_shift, max_shift + 1))
-        out = np.full_like(t, -9999)
-        if s >= 0:
-            out[s:] = t[: t.size - s]
-        else:
-            out[:s] = t[-s:]
-        return out
+        return _shift_kernel(t, _doc_rng(doc_id, seed), max_shift)
 
     return _apply(df, fn)
 
@@ -180,6 +193,10 @@ def compose_augmentations(
     p_scale: float = 0.5,
     p_shift: float = 0.5,
     p_zero: float = 0.3,
+    lo: float = 0.9,
+    hi: float = 1.1,
+    max_shift: int = 16,
+    zero_frac: float = 0.1,
     seed: int = 11,
 ) -> DataFrame:
     """W13 composition (``pytorch/utils/augmentation.py:289-395``): each doc
@@ -193,22 +210,11 @@ def compose_augmentations(
         do_scale, do_shift, do_zero = rng.random(3) < (p_scale, p_shift, p_zero)
         out = t
         if do_scale:
-            f = rng.uniform(0.9, 1.1)
-            out = out.copy()
-            m = out != -9999
-            out[m] = np.round(out[m] * f).astype(np.int64)
+            out = _scale_kernel(out, rng, lo, hi)
         if do_shift:
-            s = int(rng.integers(-16, 17))
-            shifted = np.full_like(out, -9999)
-            if s >= 0:
-                shifted[s:] = out[: out.size - s]
-            else:
-                shifted[:s] = out[-s:]
-            out = shifted
+            out = _shift_kernel(out, rng, max_shift)
         if do_zero:
-            out = out.copy()
-            m = (out != -9999) & (rng.random(out.size) < 0.1)
-            out[m] = 0
+            out = _zero_kernel(out, rng, zero_frac)
         return out
 
     return _apply(df, fn)

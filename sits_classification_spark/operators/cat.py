@@ -50,6 +50,9 @@ def cat_analysis(
         F.regr_slope(v, b).alias("slope_full"),
         F.count(value_col).alias("n"),
     )
+    # CAT is undefined for single-point series (no diff exists): drop them
+    # instead of emitting an all-null change row
+    agg = agg.filter(F.col("_chg").isNotNull())
     keyed = with_diff.join(
         agg.select(*keys, F.col("_chg.at").alias("_chg_at"), "_chg", "slope_full", "n"),
         on=list(keys),

@@ -192,9 +192,9 @@ def ivf_centroids(
     At 100 TB swap in k-means||-trained centroids; the assignment/probe
     plan below is unchanged. `orderBy().limit(k)` compiles to
     TakeOrderedAndProject — no global sort materializes."""
-    key = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from sits_classification_spark.operators.text import word_hash60
+
+    key = word_hash60(F.col(id_col).cast("string"))
     return (
         df.select(
             F.col(id_col).alias("cid"),
@@ -211,17 +211,22 @@ def _cell_udfs(cents: list[tuple[int, list[float]]], nprobe: int):
     """Vectorized (Arrow-batched) centroid assignment: one numpy matmul per
     batch against the (k, dim) centroid matrix — 16 array-fold expressions
     per row evaluate interpreted and measured ~5x slower than the whole
-    query. argmin over (dist, cid) with cid-ascending columns reproduces
-    the oracle's ORDER BY dist, cid tie rule (np argmin/lexsort take the
-    first minimum). Returns (cell_udf, probe_udf)."""
+    query. Distances are QUANTIZED to integer micro-units before the
+    argmin: BLAS sum order differs from the SQL oracle's sequential
+    list_dot_product by ~1e-13, so a near-equidistant vector could flip
+    cells across engines; rounding both sides at 1e-6 (far above the noise,
+    far below real centroid gaps) turns near-ties into exact ties, which
+    the (dist, cid) rule then resolves identically (np argmin/stable
+    argsort take the first minimum = lowest cid). Returns
+    (cell_udf, probe_udf)."""
     C = np.array([cv for _cid, cv in cents], dtype=np.float64)  # (k, dim)
     cids = np.array([cid for cid, _cv in cents], dtype=np.int64)
     cc = (C * C).sum(axis=1)
 
     def _dists(emb: pd.Series) -> "np.ndarray":
         V = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-        # vv is constant per row — irrelevant for per-row argmin/argsort
-        return cc - 2.0 * (V @ C.T)
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cc
+        return np.floor(d * 1e6 + 0.5).astype(np.int64)
 
     @F.pandas_udf("long")
     def cell_udf(emb: pd.Series) -> pd.Series:

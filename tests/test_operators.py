@@ -363,3 +363,15 @@ def test_map_doc_groups_carries_docs_across_arrow_batches(spark, long_df):
     assert list(out["doc_id"]) == list(expect["doc_id"])  # one row per doc
     assert list(out["n"]) == list(expect["n"])            # complete series
     np.testing.assert_allclose(out["dsum"], expect["dsum"])
+
+
+def test_scale_int16_matches_reference_rule(spark):
+    """C2: round(v*scale) cast int16 (udf_block.py:54) — half-up on the
+    positive domain, nodata untouched by the caller's mask."""
+    from sits_classification_spark.functions.scalar import scale_int16
+
+    df = spark.createDataFrame(
+        [(0.0015,), (1.2344,), (-0.0015,), (2.9996,)], "v double"
+    )
+    got = [r[0] for r in df.select(scale_int16(F.col("v"), 1000)).collect()]
+    assert got == [2, 1234, -2, 3000]
