@@ -158,6 +158,55 @@ def q_fold_seasonal(spark, sf):
     )
 
 
+def q_nocb_3d(spark, sf):
+    """W1 NOCB onto a 3-day grid (next-observation-carried-backward — the
+    backfill half of limit_direction='both', utils/class_run.py:193-194)."""
+    s = _series(spark, sf)
+    bounds = s.groupBy("doc_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        "doc_id",
+        F.explode(F.sequence("lo", "hi", F.lit(3))).alias("day"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    obs = s.select("doc_id", "day", "value", F.lit(0).alias("is_grid"))
+    both = obs.unionByName(grid)
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("day", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        both.withColumn("nocb", F.first("value", ignorenulls=True).over(wf))
+        .filter(F.col("is_grid") == 1)
+        .select("doc_id", F.col("day").cast("long").alias("grid_day"), F.col("nocb").alias("value"))
+    )
+
+
+def q_fold_weekly(spark, sf):
+    """A2 FBW: weekly AVG fold (bucket = epoch_day // 7)."""
+    from sits_classification_spark.operators.folds import fold_by_period
+
+    s = _series(spark, sf)
+    out = fold_by_period(s, "week", "AVG", day_col="day", keys=("doc_id",))
+    return out.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"),
+        F.round("value", 6).alias("value"), F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
+def q_fold_monthly_q50(spark, sf):
+    """A2 with a non-AVG FOLD_TYPE: monthly median (Q50) fold."""
+    from sits_classification_spark.operators.folds import fold_by_period
+
+    s = _series(spark, sf)
+    out = fold_by_period(s, "month", "Q50", day_col="day", keys=("doc_id",))
+    return out.select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"),
+        F.round("value", 6).alias("value"), F.col("n_obs").cast("long").alias("n_obs"),
+    )
+
+
 def q_stm_user(spark, sf):
     """A1 STM: MIN/Q25/Q50/Q75/MAX/AVG/STD/RNG/IQR/SKW/KRT/NUM per series
     (TSA.prm:300-312); population moments like the reference's numpy."""
@@ -1226,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_3d": q_locf_3d,
         "fold_monthly": q_fold_monthly,
         "fold_seasonal": q_fold_seasonal,
+        "fold_weekly": q_fold_weekly,
+        "fold_monthly_q50": q_fold_monthly_q50,
+        "nocb_3d": q_nocb_3d,
         "stm_user": q_stm_user,
         "trend_user": q_trend_user,
         "trend_sig": q_trend_sig,
@@ -1823,6 +1875,23 @@ def oracle_sql() -> dict[str, str]:
             "WHEN pv IS NOT NULL THEN pv ELSE nv END, 6)",
         ),
         "locf_3d": _interp_sql(3, "pv"),
+        "nocb_3d": _interp_sql(3, "nv"),
+        "fold_weekly": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id, CAST(floor(day/7) AS BIGINT) AS bucket,
+                   round(avg(value), 6) AS value,
+                   count(value) AS n_obs
+            FROM series GROUP BY doc_id, 2
+        """,
+        "fold_monthly_q50": f"""
+            WITH series AS ({_SERIES_SQL})
+            SELECT doc_id,
+                   CAST(year(DATE '1970-01-01' + INTERVAL (day) DAY)*100
+                        + month(DATE '1970-01-01' + INTERVAL (day) DAY) AS BIGINT) AS bucket,
+                   round(quantile_cont(value, 0.50), 6) AS value,
+                   count(value) AS n_obs
+            FROM series GROUP BY doc_id, 2
+        """,
         "fold_monthly": f"""
             WITH series AS ({_SERIES_SQL})
             SELECT doc_id,
