@@ -190,7 +190,10 @@ def main():
     shutil.rmtree(workdir, ignore_errors=True)
 
     t_all = time.time()
-    os.environ.setdefault("SPARK_GRAFT_TRIALS", "2")  # warmup + min-of-2
+    # warmup + min-of-3: the hypervisor steals CPU in multi-minute bursts
+    # (measured 11s vs 37s for the identical cascade an hour apart); three
+    # trials give decent odds that one lands in a calm window
+    os.environ.setdefault("SPARK_GRAFT_TRIALS", "3")
     cascade = run_cascade(CPUS, n_docs, workdir)
     spark = get_spark(app="bench_queries", cores=CPUS)
     qt = run_queries(spark, SF_DIR)
