@@ -930,6 +930,15 @@ def q_doc_lang_id(spark, sf):
     return out.select("doc_id", "lang", "pred_lang", *casts)
 
 
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) fingerprints: distinct sliding-window minima of the
+    3-gram hash stream, window 4 — any >= 6-token match between two docs is
+    guaranteed to share a fingerprint."""
+    from sits_classification_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf, "documents"), k=3, w=4)
+
+
 def q_doc_fingerprint(spark, sf):
     d = _read(spark, sf, "documents")
     out = fingerprint(d)
@@ -1317,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -2305,6 +2315,21 @@ def oracle_sql() -> dict[str, str]:
                    reduce(list_transform(w, x -> {_WH60}), (a, b) -> xor(a, b)) AS fingerprint,
                    len(w) AS n_tokens
             FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        """,
+        "winnow_fingerprints": f"""
+            WITH sh AS (
+                SELECT doc_id, i - 1 AS pos, hs[i] AS h FROM (
+                    SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS i
+                    FROM (SELECT doc_id,
+                                 list_transform({_SHINGLES3},
+                                                s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+                          FROM (SELECT doc_id, {_WORDS} AS w FROM documents)))),
+            m AS (SELECT doc_id, pos,
+                         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                         count(*) OVER (PARTITION BY doc_id) AS n
+                  FROM sh)
+            SELECT DISTINCT doc_id, wmin AS fp FROM m WHERE pos <= n - 4
         """,
         "minhash_sigs": f"""
             SELECT doc_id, {mh_exprs}

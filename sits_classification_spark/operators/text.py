@@ -129,3 +129,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         xor_hash.alias("fingerprint"),
         F.size(w).alias("n_tokens"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every word
+    k-gram, slide a window of w consecutive k-gram hashes over the doc, and
+    keep the DISTINCT window minima — the guarantee is that any match of at
+    least w+k-1 tokens between two docs shares a fingerprint, at ~2/(w+1)
+    of the full shingle-set size.
+
+    One explode + one sliding row-window per doc + distinct, all
+    JVM-side. The k-gram hash is the shared md5->int64 (a Rabin-Karp
+    rolling hash is an equivalence-preserving optimization hidden behind
+    the hash interface; md5 keeps bit-parity with the SQL oracle).
+    Output: (doc_id, fp) exploded — one row per distinct fingerprint."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngram_shingles(words(text_col), k), word_hash60)
+        ).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n = Window.partitionBy("doc_id")
+    return (
+        sh.withColumn("wmin", F.min("h").over(win))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )

@@ -216,3 +216,33 @@ def test_ivf_topk_structure_and_recall(spark, sf01):
     exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
     hits = len(exact & {r["vec_id"] for r in got})
     assert hits >= 3  # 4/16 cells probed; random 64-dim corpus
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """MOSS guarantee: two docs sharing a run of >= w+k-1 (= 6) tokens share
+    at least one fingerprint; fingerprint density ~ 2/(w+1) of shingles."""
+    from sits_classification_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [
+            ("a", f"one two three {shared} four five six seven"),
+            ("b", f"nine ten {shared} eleven twelve thirteen fourteen"),
+            ("c", "totally different words everywhere in this document here"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(d, k=3, w=4)
+    ab = (
+        fps.filter(F.col("doc_id") == "a")
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == "b").select("fp"))
+        .count()
+    )
+    ac = (
+        fps.filter(F.col("doc_id") == "a")
+        .select("fp")
+        .intersect(fps.filter(F.col("doc_id") == "c").select("fp"))
+        .count()
+    )
+    assert ab >= 1 and ac == 0
