@@ -123,53 +123,12 @@ def _bit_length(x: np.ndarray) -> np.ndarray:
 def encode_dod(ts: np.ndarray) -> bytes:
     """Delta-of-delta encode an int64 timestamp/bucket array.
 
-    Vectorized: per-dod codewords (control prefix fused with payload) built
-    with np.select, packed with one np.packbits pass. Bit-identical to the
-    scalar reference encoder.
+    Delegates to the flat-buffer batch encoder with a single-series offsets
+    pair — one codeword-construction implementation to maintain (the
+    round-trip property suite pins the stream).
     """
     ts = np.asarray(ts, dtype=np.int64)
-    n = ts.size
-    head = struct.pack("<I", n)
-    if n == 0:
-        return head
-    head += struct.pack("<q", int(ts[0]))
-    if n == 1:
-        return head
-    deltas = np.diff(ts)
-    head += struct.pack("<q", int(deltas[0]))
-    dods = np.diff(deltas)
-    u = dods.astype(np.uint64)
-    conds = [
-        dods == 0,
-        (dods >= -63) & (dods <= 64),
-        (dods >= -255) & (dods <= 256),
-        (dods >= -2047) & (dods <= 2048),
-    ]
-    words = np.select(
-        conds,
-        [
-            np.zeros_like(u),
-            (np.uint64(0b10) << np.uint64(7)) | ((u + np.uint64(63)) & np.uint64(0x7F)),
-            (np.uint64(0b110) << np.uint64(9)) | ((u + np.uint64(255)) & np.uint64(0x1FF)),
-            (np.uint64(0b1110) << np.uint64(12)) | ((u + np.uint64(2047)) & np.uint64(0xFFF)),
-        ],
-        default=u,  # 64-bit payload; '1111' control emitted separately below
-    )
-    widths = np.select(conds, [1, 9, 12, 16], default=64).astype(np.int64)
-    # the 68-bit '1111'+64b case doesn't fit one uint64 codeword: interleave
-    # a separate 4-bit control word before each 64-bit payload
-    big = ~(conds[0] | conds[1] | conds[2] | conds[3])
-    if big.any():
-        n_words = words.size + int(big.sum())
-        w2 = np.empty(n_words, dtype=np.uint64)
-        wd2 = np.empty(n_words, dtype=np.int64)
-        pos = np.arange(words.size) + np.cumsum(big) - big  # target slots
-        w2[pos] = np.where(big, np.uint64(0b1111), words)
-        wd2[pos] = np.where(big, 4, widths)
-        w2[pos[big] + 1] = words[big]
-        wd2[pos[big] + 1] = 64
-        words, widths = w2, wd2
-    return head + _pack_bits(words, widths)
+    return encode_dod_flat(ts, np.array([0, ts.size], dtype=np.int64))[0]
 
 
 def decode_dod(buf: bytes) -> np.ndarray:
@@ -249,41 +208,11 @@ def encode_xor(values: np.ndarray) -> bytes:
     sequential '10' fits-prior-window optimization is dropped because it
     creates a value-to-value data dependency that defeats vectorization
     (~10% larger output, ~50x faster encode). The decoder accepts both
-    streams.
+    streams. Delegates to the flat-buffer batch encoder with a
+    single-series offsets pair — one codeword implementation to maintain.
     """
     values = np.asarray(values, dtype=np.float64)
-    n = values.size
-    head = struct.pack("<I", n)
-    if n == 0:
-        return head
-    bits = values.view(np.uint64)
-    head += struct.pack("<Q", int(bits[0]))
-    if n == 1:
-        return head
-    x = bits[1:] ^ bits[:-1]
-    nz = x != 0
-    bl = _bit_length(x)
-    lead = np.minimum(64 - bl, 31)
-    with np.errstate(over="ignore"):
-        low = x & (np.uint64(0) - x)  # isolate lowest set bit
-    trail = _bit_length(low) - 1
-    mlen = 64 - lead - trail  # in [1, 64] for nonzero xors
-    # zero xor -> 1-bit '0'; nonzero -> '11' + 5b lead + 6b (mlen & 63)
-    ctrl = np.where(
-        nz,
-        (np.uint64(0b11) << np.uint64(11))
-        | (lead.astype(np.uint64) << np.uint64(6))
-        | (mlen.astype(np.uint64) & np.uint64(0x3F)),
-        np.uint64(0),
-    )
-    ctrl_w = np.where(nz, 13, 1)
-    payload = np.where(nz, x >> trail.clip(0).astype(np.uint64), np.uint64(0))
-    pay_w = np.where(nz, mlen, 0)
-    words = np.empty(x.size * 2, dtype=np.uint64)
-    widths = np.empty(x.size * 2, dtype=np.int64)
-    words[0::2], words[1::2] = ctrl, payload
-    widths[0::2], widths[1::2] = ctrl_w, pay_w
-    return head + _pack_bits(words, widths)
+    return encode_xor_flat(values, np.array([0, values.size], dtype=np.int64))[0]
 
 
 def decode_xor(buf: bytes) -> np.ndarray:

@@ -19,6 +19,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 LINEAGE_SCHEMA = (
     "tier string, source string, salt int, input_snapshot_id string, "
@@ -49,7 +50,11 @@ def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame | None:
         return None
     try:
         return spark.read.parquet(lineage_path)
-    except Exception:
+    except AnalysisException:
+        # an existing-but-empty dir (no committed files yet) has no schema;
+        # anything else (corrupt footer, permissions) must SURFACE — a
+        # swallowed error would silently disable resume and recompute
+        # everything next to the damaged lineage
         return None
 
 

@@ -96,9 +96,15 @@ def asof_join_cogroup(
         l = l.drop(columns=["_bk"], errors="ignore").sort_values(
             time_col, kind="stable"
         )
-        r = r.rename(columns={"_rk": key}).sort_values(time_col, kind="stable")[
-            ([key] if buckets is not None else []) + [time_col, "asof_value"]
-        ]
+        # drop null right values BEFORE the merge: merge_asof would match
+        # the null row and return NaN where the window form (last ...
+        # ignorenulls) skips to the previous non-null — the two forms must
+        # agree on data with null values
+        r = (
+            r.rename(columns={"_rk": key})
+            .dropna(subset=["asof_value"])
+            .sort_values(time_col, kind="stable")
+        )[([key] if buckets is not None else []) + [time_col, "asof_value"]]
         out = pd.merge_asof(l, r, **kwargs)
         out["asof_value"] = out["asof_value"].astype("float64")
         return out

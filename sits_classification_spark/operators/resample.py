@@ -51,10 +51,16 @@ def resample_expr(
         lo = F.lit(grid_origin) + F.ceil(
             (F.col("_lo") - F.lit(grid_origin)) / F.lit(int_day)
         ).cast("long") * F.lit(int_day)
+    # a doc observed entirely inside one grid interval has no aligned grid
+    # point (lo > _hi) — sequence() would throw and kill the job, so such
+    # docs simply emit no grid rows
+    bounds = bounds.withColumn("_glo", lo.cast("long")).filter(
+        F.col("_glo") <= F.col("_hi")
+    )
     grid = bounds.select(
         "doc_id",
         "source",
-        F.explode(F.sequence(lo.cast("long"), F.col("_hi").cast("long"), F.lit(int_day))).alias("day"),
+        F.explode(F.sequence(F.col("_glo"), F.col("_hi").cast("long"), F.lit(int_day))).alias("day"),
     ).select(
         "doc_id",
         "source",
@@ -67,10 +73,14 @@ def resample_expr(
     )
     both = obs.unionByName(grid)
 
-    # observation at the same day sorts before its grid row -> exact pass-through
+    # observation at the same day sorts before its grid row -> exact pass-through;
+    # windows MUST partition by (doc_id, source) like the bounds do — a doc
+    # appearing under two sources would otherwise interleave both series and
+    # interpolate across them
     order = [F.col("day"), F.col("_is_grid")]
-    wb = Window.partitionBy("doc_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.partitionBy("doc_id").orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    keys = ("doc_id", "source")
+    wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
     v = F.col("value")
     d = F.when(v.isNotNull(), F.col("day"))
     filled = (
@@ -125,18 +135,25 @@ def resample_pandas(
     """applyInPandas variant of resample_expr (per-doc np.interp)."""
 
     def rs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day")
-        days = pdf["day"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        grid, gv = resample_kernel(days, vals, int_day)
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].iloc[0],
-                "source": pdf["source"].iloc[0],
-                "grid_day": grid.astype(np.int32),
-                "value": gv,
-            }
-        )
+        # sub-group by source: map_doc_groups keys on doc_id alone, and a doc
+        # under two sources must not be interpolated as one mixed series
+        outs = []
+        for src, g in pdf.groupby("source", sort=True):
+            g = g.sort_values("day")
+            days = g["day"].to_numpy(dtype=np.int64)
+            vals = g["value"].to_numpy(dtype=np.float64)
+            grid, gv = resample_kernel(days, vals, int_day)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": g["doc_id"].iloc[0],
+                        "source": src,
+                        "grid_day": grid.astype(np.int32),
+                        "value": gv,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return map_doc_groups(
         long, rs, "doc_id string, source string, grid_day int, value double"

@@ -13,17 +13,25 @@ import hashlib
 import os
 
 
+def _stat_token(fp: str, rel: str) -> bytes:
+    # name + size + mtime_ns: a same-size in-place rewrite changes the id
+    # (size alone missed it and resume would silently reuse stale tiers);
+    # the cost is that a byte-identical rewrite also invalidates resume —
+    # recomputing is the safe direction
+    st = os.stat(fp)
+    return f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode()
+
+
 def snapshot_id(path: str) -> str:
     """Deterministic snapshot id for a local parquet directory or file."""
     h = hashlib.sha256()
     if os.path.isfile(path):
-        h.update(f"{os.path.basename(path)}:{os.path.getsize(path)}".encode())
+        h.update(_stat_token(path, os.path.basename(path)))
     else:
         for root, _dirs, files in sorted(os.walk(path)):
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
                 fp = os.path.join(root, f)
-                rel = os.path.relpath(fp, path)
-                h.update(f"{rel}:{os.path.getsize(fp)}".encode())
+                h.update(_stat_token(fp, os.path.relpath(fp, path)))
     return h.hexdigest()[:16]
