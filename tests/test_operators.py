@@ -375,3 +375,39 @@ def test_scale_int16_matches_reference_rule(spark):
     )
     got = [r[0] for r in df.select(scale_int16(F.col("v"), 1000)).collect()]
     assert got == [2, 1234, -2, 3000]
+
+
+def test_resample_expr_keeps_sources_separate(spark):
+    """A doc_id appearing under two sources must interpolate each source's
+    series independently (regression: doc-only windows interleaved them)."""
+    from sits_classification_spark.operators.resample import (
+        resample_expr,
+        resample_pandas,
+    )
+
+    rows = [
+        ("d1", "A", 0, 0.0), ("d1", "A", 20, 20.0),
+        ("d1", "B", 0, 100.0), ("d1", "B", 20, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, day int, value double")
+    for fn in (resample_expr, resample_pandas):
+        got = {
+            (r["source"], r["grid_day"]): r["value"]
+            for r in fn(df, int_day=10).collect()
+        }
+        assert got[("A", 0)] == 0.0 and got[("A", 10)] == 10.0 and got[("A", 20)] == 20.0
+        assert got[("B", 0)] == 100.0 and got[("B", 10)] == 100.0
+
+
+def test_resample_expr_aligned_grid_skips_tiny_spans(spark):
+    """With grid_origin set, a doc observed inside one grid interval has no
+    aligned grid point and must emit nothing instead of crashing."""
+    from sits_classification_spark.operators.resample import resample_expr
+
+    rows = [("tiny", "s", 3, 1.0), ("tiny", "s", 7, 2.0),
+            ("big", "s", 5, 1.0), ("big", "s", 25, 3.0)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, day int, value double")
+    out = resample_expr(df, int_day=10, grid_origin=0).collect()
+    docs = {r["doc_id"] for r in out}
+    assert docs == {"big"}
+    assert sorted(r["grid_day"] for r in out) == [10, 20]
