@@ -63,8 +63,9 @@ def unlog_response(v: Column) -> Column:
 
 # --- C4/C5 date codecs ---------------------------------------------------------
 
-def day_to_date(day: Column) -> Column:
-    return F.date_add(F.to_date(F.lit(EPOCH)), day.cast("int"))
+def day_to_date(day: Column | str) -> Column:
+    col = F.col(day) if isinstance(day, str) else day
+    return F.date_add(F.to_date(F.lit(EPOCH)), col.cast("int"))
 
 
 def date_to_day(date: Column) -> Column:
@@ -98,7 +99,9 @@ def argmax(arr: Column) -> Column:
 # --- C7 string parsing ------------------------------------------------------------
 
 def year_from_name(name: Column) -> Column:
-    return F.regexp_extract(name, r"(\d{4})", 1).cast("int")
+    # anchor to a plausible year: tile names carry 4-digit coordinates
+    # (X0012_...) that a bare \d{4} would grab first
+    return F.regexp_extract(name, r"((?:19|20)\d{2})", 1).cast("int")
 
 
 def tile_coords(tile: Column) -> Column:

@@ -17,13 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_EPOCH = "1970-01-01"
-
-
-def day_to_date(day: str | Column) -> Column:
-    """C4 date codec: int days-since-epoch -> date (udf_pixel.py:6-8)."""
-    col = F.col(day) if isinstance(day, str) else day
-    return F.date_add(F.to_date(F.lit(_EPOCH)), col.cast("int"))
+from sits_classification_spark.functions.scalar import day_to_date  # C4 codec (one impl)
 
 
 def period_bucket(day: str | Column, period: str) -> Column:
@@ -142,10 +136,11 @@ def pack_tokens(
     """Pack a long-form tier back into the nested token-array representation
     (doc_id, source, tokens array<int>, n_tok) — token-array-equality form.
 
-    Rounding rule: int(round(v)) half-away-from-zero, matching the
-    scale-and-round at ``force/skel/udf_block.py:54``.
+    Rounding rule: banker's (half-to-even) via rint, matching numpy's
+    np.round used by the cascade tier writer and the pandas oracle — the
+    token-array-equality invariant requires one rule everywhere.
     """
-    rounded = F.round(F.col(value_col)).cast("int")
+    rounded = F.rint(F.col(value_col)).cast("int")
     return (
         df.groupBy(*keys)
         .agg(

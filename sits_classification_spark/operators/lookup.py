@@ -52,7 +52,7 @@ def assign_tiles(
     return points.withColumn(
         "tile",
         F.concat(
-            F.lit("X"), F.lpad(tx.cast("string"), 4, "0"),
-            F.lit("_Y"), F.lpad(ty.cast("string"), 4, "0"),
+            F.lit("X"), F.format_string("%04d", tx),
+            F.lit("_Y"), F.format_string("%04d", ty),
         ),
     )

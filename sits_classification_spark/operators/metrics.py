@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 
 def class_histogram(df: DataFrame, label_col: str = "label") -> DataFrame:
-    """A5: per-class counts + inverse-frequency weights normalized to mean 1
-    (trainer.py:95-123 semantics)."""
+    """A5: per-class counts + balanced inverse-frequency weights
+    total/(k*n), the sklearn 'balanced' rule (trainer.py:95-123 semantics;
+    the weighted sample count per class is equal, the weight MEAN is 1 only
+    for perfectly balanced data)."""
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
@@ -49,21 +51,23 @@ def classification_report(
         .agg(F.count(F.lit(1)).alias("tp"))
     )
     predicted = df.groupBy(p.alias("cls")).agg(F.count(F.lit(1)).alias("pred_n"))
+    # full outer: a class that only ever appears in predictions still gets a
+    # report row (support 0), matching a square confusion-matrix reference;
+    # 0/0 ratios are 0, not NULL
+    prec = F.when(F.col("pred_n") > 0, F.col("tp") / F.col("pred_n")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(F.lit(0.0))
     rep = (
-        per_class.join(tp, "cls", "left")
-        .join(predicted, "cls", "left")
-        .fillna(0, subset=["tp", "pred_n"])
+        per_class.join(tp, "cls", "full")
+        .join(predicted, "cls", "full")
+        .fillna(0, subset=["tp", "pred_n", "support"])
         .select(
             "cls",
             "support",
-            (F.col("tp") / F.col("pred_n")).alias("precision"),
-            (F.col("tp") / F.col("support")).alias("recall"),
-            (
-                2
-                * (F.col("tp") / F.col("pred_n"))
-                * (F.col("tp") / F.col("support"))
-                / ((F.col("tp") / F.col("pred_n")) + (F.col("tp") / F.col("support")))
-            ).alias("f1"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            F.when(
+                prec + rec > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)).alias("f1"),
         )
     )
     return rep

@@ -115,7 +115,11 @@ def frame_sample_plan(
     return v.select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            # zero/negative durations have no frames; sequence(0, -1) throws
+            F.when(
+                F.col("duration_ms") > 0,
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("frame_ms"),
     )
 

@@ -77,18 +77,17 @@ def mosaic(parts: list[DataFrame], dedup_keys: list[str] | None = None) -> DataF
     """S9: union per-tile outputs into one table; later parts win on key
     collisions when dedup_keys given (mosaic overwrite order,
     predict.py:218-253)."""
-    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [p.withColumn("_part", F.lit(i)) for i, p in enumerate(parts)],
+    )
     if dedup_keys:
         from pyspark.sql import Window
 
-        idx = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True),
-            [p.withColumn("_part", F.lit(i)) for i, p in enumerate(parts)],
-        )
         w = Window.partitionBy(*dedup_keys).orderBy(F.desc("_part"))
         out = (
-            idx.withColumn("_rn", F.row_number().over(w))
+            out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_part")
+            .drop("_rn")
         )
-    return out
+    return out.drop("_part")

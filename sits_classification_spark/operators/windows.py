@@ -46,7 +46,10 @@ def fixed_length_windows(
     if compact:
         t = compact_nonzero(t, pad_value)
     out = df.withColumn("window", pad_to_length(t, length, pad_value))
+    # valid_len counts non-pad tokens IN THE EMITTED WINDOW: without
+    # compaction, truncation can cut real tokens while leading pads survive,
+    # so counting the full input would overstate the attended length
     return out.withColumn(
         "valid_len",
-        F.least(F.size(F.filter(F.col(tokens_col), lambda x: x != F.lit(pad_value))), F.lit(length)),
+        F.size(F.filter(F.col("window"), lambda x: x != F.lit(pad_value))),
     )

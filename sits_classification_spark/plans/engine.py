@@ -96,11 +96,36 @@ class Engine:
         """Ad-hoc continuous aggregate over a materialized tier: any FOLD_TYPE
         (MIN/Q..​/MAX/AVG/STD/RNG/IQR/SKW/KRT/NUM/SUM, ``TSA.prm:314-334``)
         by month/quarter/year/week/doy. Reads the tier table, so repeated
-        folds never touch raw data."""
-        from sits_classification_spark.operators.folds import fold_by_period
+        folds never touch raw data.
 
-        return fold_by_period(
-            self.tier_long(tier), period, stat, day_col="bucket", value_col="value"
+        Bucket semantics differ per tier: tier_raw/tier_10d buckets are
+        day indices (any period works); tier_monthly buckets are YYYYMM and
+        only coarsen to quarter/year; tier_seasonal (YYYYQ) only to year.
+        Feeding a calendar-id bucket to the day codec would silently produce
+        garbage buckets, so unsupported combinations raise."""
+        from sits_classification_spark.operators.folds import (
+            fold_by_period,
+            fold_from_bucket,
+            month_to_quarter,
+        )
+
+        long = self.tier_long(tier)
+        p = period.lower()
+        if tier in ("tier_raw", "tier_10d"):
+            return fold_by_period(long, period, stat, day_col="bucket", value_col="value")
+        if tier == "tier_monthly":
+            if p in ("quarter", "season"):
+                return fold_from_bucket(long, month_to_quarter(), stat)
+            if p == "year":
+                return fold_from_bucket(
+                    long, F.floor(F.col("bucket") / 100).cast("int"), stat
+                )
+        if tier == "tier_seasonal" and p == "year":
+            return fold_from_bucket(
+                long, F.floor(F.col("bucket") / 10).cast("int"), stat
+            )
+        raise ValueError(
+            f"cannot fold {tier} (bucket id granularity) by {period!r}"
         )
 
     def lineage(self) -> DataFrame:

@@ -176,7 +176,7 @@ def test_pack_tokens_sorted_by_bucket(spark):
         }
     )
     out = pack_tokens(spark.createDataFrame(pdf)).toPandas()
-    assert list(out["tokens"][0]) == [11, 21, 30]  # HALF_UP, bucket order
+    assert list(out["tokens"][0]) == [11, 20, 30]  # half-even (np.round rule), bucket order
     assert out["n_tok"][0] == 3
 
 
