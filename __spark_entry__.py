@@ -171,9 +171,12 @@ def q_nocb_3d(spark, sf):
     )
     obs = s.select("doc_id", "day", "value", F.lit(0).alias("is_grid"))
     both = obs.unionByName(grid)
+    # grid rows sort BEFORE same-day observations (is_grid DESC) so a grid
+    # point coincident with an obs backfills the coincident value, matching
+    # pandas limit_direction='both' — not the NEXT observation
     wf = (
         Window.partitionBy("doc_id")
-        .orderBy("day", "is_grid")
+        .orderBy("day", F.desc("is_grid"))
         .rowsBetween(0, Window.unboundedFollowing)
     )
     return (
@@ -800,6 +803,44 @@ def q_spectral_index(spark, sf):
     )
 
 
+def q_index_menu(spark, sf):
+    """C1 full index menu: the reference's spelled-out formulas
+    (NBR/ARI/CRI/RENDVI1/RENDVI2/MSI/NDWI/VMI/CCCI,
+    dswi_harmonic_tsi.py:92-114) over synthetic bands derived from lineitem
+    numeric columns. Each index quantized with the shared floor(x*1e4+0.5)
+    text (cross-engine round() disagrees on boundary-exact doubles). Rows
+    where the CCCI denominator NDVI ~ 0 are filtered with an identical-text
+    predicate both sides."""
+    from sits_classification_spark.functions import scalar as X
+
+    li = _read(spark, sf, "lineitem")
+    blue = F.col("l_quantity").cast("double")
+    green = F.col("l_discount") + 0.05
+    red = F.col("l_tax") + 0.03
+    re1 = F.col("l_quantity") / 25.0
+    re2 = F.col("l_quantity") / 50.0 + 0.02
+    bnir = F.col("l_extendedprice") / 100000.0
+    swir1 = F.col("l_quantity") / 100.0
+    swir2 = F.col("l_discount") + 0.01
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+    return li.filter(F.abs(bnir - red) > 0.001).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        q4(X.nbr(bnir, swir2)).alias("nbr_e4"),
+        q4(X.ari(bnir, green, re1)).alias("ari_e4"),
+        q4(X.cri(blue, green)).alias("cri_e4"),
+        q4(X.rendvi1(re1, red)).alias("rendvi1_e4"),
+        q4(X.rendvi2(re2, red)).alias("rendvi2_e4"),
+        q4(X.msi(swir1, bnir)).alias("msi_e4"),
+        q4(X.ndwi(bnir, swir1)).alias("ndwi_e4"),
+        q4(X.vmi(bnir, swir2)).alias("vmi_e4"),
+        q4(X.ccci(bnir, re1, red)).alias("ccci_e4"),
+    )
+
+
 def q_augment_zero_out(spark, sf):
     """W13 augmentation: seeded random zero-out of valid positions
     (augmentation.py:212-249) on the synthetic sequences table."""
@@ -1317,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_encoding": q_positional_encoding,
         "mosaic_last_wins": q_mosaic_last_wins,
         "spectral_index": q_spectral_index,
+        "index_menu": q_index_menu,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -1368,7 +1410,10 @@ _STOP_FR = "('le','la','les','et','de','un','une','est','que','pour')"
 _STOP_ES = "('el','la','los','las','y','de','que','es','un','en')"
 
 
-def _interp_sql(step: int, value_expr: str) -> str:
+def _interp_sql(step: int, value_expr: str, next_order: str = "day, is_grid") -> str:
+    """next_order controls the forward window's tie-break: NOCB passes
+    'day, is_grid DESC' so a grid row sees a coincident same-day obs in its
+    forward frame (the backfill half of limit_direction='both')."""
     return f"""
     WITH series AS ({_SERIES_SQL}),
     bounds AS (SELECT doc_id, min(day) AS lo, max(day) AS hi FROM series GROUP BY doc_id),
@@ -1387,7 +1432,7 @@ def _interp_sql(step: int, value_expr: str) -> str:
         WINDOW
           w_prev AS (PARTITION BY doc_id ORDER BY day, is_grid
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-          w_next AS (PARTITION BY doc_id ORDER BY day, is_grid
+          w_next AS (PARTITION BY doc_id ORDER BY {next_order}
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT doc_id, day AS grid_day, {value_expr} AS value
     FROM filled WHERE is_grid = 1
@@ -1885,7 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN pv IS NOT NULL THEN pv ELSE nv END, 6)",
         ),
         "locf_3d": _interp_sql(3, "pv"),
-        "nocb_3d": _interp_sql(3, "nv"),
+        "nocb_3d": _interp_sql(3, "nv", next_order="day, is_grid DESC"),
         "fold_weekly": f"""
             WITH series AS ({_SERIES_SQL})
             SELECT doc_id, CAST(floor(day/7) AS BIGINT) AS bucket,
@@ -2139,9 +2184,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "class_weights": """
             WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
-            t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+            t AS (SELECT sum(1.0/n) AS inv_sum, count(*) AS k FROM c)
             SELECT CAST(label AS BIGINT) AS label, n,
-                   round(total / (k * n), 6) AS weight
+                   round((1.0/n) / inv_sum * k, 6) AS weight
             FROM c, t
         """,
         "confusion_report": f"""
@@ -2237,6 +2282,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem)
             WHERE idx IS NOT NULL AND abs(idx) < 5
         """,
+        "index_menu": """
+            WITH b AS (
+                SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                       CAST(l_quantity AS DOUBLE) AS blue,
+                       l_discount + 0.05 AS green,
+                       l_tax + 0.03 AS red,
+                       l_quantity/25.0 AS re1,
+                       l_quantity/50.0 + 0.02 AS re2,
+                       l_extendedprice/100000.0 AS bnir,
+                       l_quantity/100.0 AS swir1,
+                       l_discount + 0.01 AS swir2
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(((bnir - swir2)/(bnir + swir2))*10000 + 0.5) AS BIGINT) AS nbr_e4,
+                   CAST(floor((bnir*((1.0/green) - (1.0/re1)))*10000 + 0.5) AS BIGINT) AS ari_e4,
+                   CAST(floor(((1.0/blue) - (1.0/green))*10000 + 0.5) AS BIGINT) AS cri_e4,
+                   CAST(floor(((re1 - red)/(re1 + red))*10000 + 0.5) AS BIGINT) AS rendvi1_e4,
+                   CAST(floor(((re2 - red)/(re2 + red))*10000 + 0.5) AS BIGINT) AS rendvi2_e4,
+                   CAST(floor((swir1/bnir)*10000 + 0.5) AS BIGINT) AS msi_e4,
+                   CAST(floor(((bnir - swir1)/(bnir + swir1))*10000 + 0.5) AS BIGINT) AS ndwi_e4,
+                   CAST(floor((((bnir + 0.1) - (swir2 + 0.02))/((bnir + 0.1) + (swir2 + 0.02)))*10000 + 0.5) AS BIGINT) AS vmi_e4,
+                   CAST(floor((((bnir - re1)/(bnir + re1))/((bnir - red)/(bnir + red)))*10000 + 0.5) AS BIGINT) AS ccci_e4
+            FROM b WHERE abs(bnir - red) > 0.001
+        """,
         "screen_pipeline": """
             SELECT event_id, user_id AS doc_id, event_type, value
             FROM events
@@ -2329,7 +2398,13 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
                          count(*) OVER (PARTITION BY doc_id) AS n
                   FROM sh)
-            SELECT DISTINCT doc_id, wmin AS fp FROM m WHERE pos <= n - 4
+            SELECT DISTINCT doc_id, wmin AS fp FROM m
+            WHERE pos <= greatest(n - 4, 0)
+            UNION ALL
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(array_to_string(w, ' ')), 1, 15) AS BIGINT) AS fp
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+            WHERE len(w) > 0 AND len(w) < 3
         """,
         "minhash_sigs": f"""
             SELECT doc_id, {mh_exprs}

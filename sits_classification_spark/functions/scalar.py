@@ -17,13 +17,22 @@ EPOCH = "1970-01-01"
 
 
 # --- C1 spectral indices ----------------------------------------------------
+# the reference spells these formulas out at dswi_harmonic_tsi.py:92-114
+# (menu: TSA.prm:171-183); each is a two-line normalized-difference / ratio
+# Column expression
 
-def ndvi(nir: Column, red: Column) -> Column:
-    return (nir - red) / (nir + red)
+def _nd(a: Column, b: Column) -> Column:
+    """Normalized difference (a-b)/(a+b) — the common index shape."""
+    return (a - b) / (a + b)
+
+
+def ndvi(bnir: Column, red: Column) -> Column:
+    """NDVI = (BNIR-RED)/(BNIR+RED) — dswi_harmonic_tsi.py:95-96."""
+    return _nd(bnir, red)
 
 
 def dswi(bnir: Column, green: Column, swir1: Column, red: Column) -> Column:
-    """(BNIR+GREEN)/(SWIR1+RED) — udf_block.py:52."""
+    """DSWI = (BNIR+GREEN)/(SWIR1+RED) — udf_block.py:52."""
     return (bnir + green) / (swir1 + red)
 
 
@@ -31,19 +40,62 @@ def evi(nir: Column, red: Column, blue: Column) -> Column:
     return 2.5 * (nir - red) / (nir + 6.0 * red - 7.5 * blue + 1.0)
 
 
-def nbr(nir: Column, swir2: Column) -> Column:
-    return (nir - swir2) / (nir + swir2)
+def nbr(bnir: Column, swir2: Column) -> Column:
+    """NBR = (BNIR-SWIR2)/(BNIR+SWIR2) — dswi_harmonic_tsi.py:92-93."""
+    return _nd(bnir, swir2)
 
 
-def ndwi(green: Column, nir: Column) -> Column:
-    return (green - nir) / (green + nir)
+def ari(bnir: Column, green: Column, re1: Column) -> Column:
+    """ARI = BNIR*((1/GREEN)-(1/RE1)) — dswi_harmonic_tsi.py:97-98."""
+    return bnir * (1.0 / green - 1.0 / re1)
+
+
+def cri(blue: Column, green: Column) -> Column:
+    """CRI = (1/BLUE)-(1/GREEN) — dswi_harmonic_tsi.py:99-100."""
+    return 1.0 / blue - 1.0 / green
+
+
+def rendvi1(re1: Column, red: Column) -> Column:
+    """RENDVI1 = (RE1-RED)/(RE1+RED) — dswi_harmonic_tsi.py:101-102."""
+    return _nd(re1, red)
+
+
+def rendvi2(re2: Column, red: Column) -> Column:
+    """RENDVI2 = (RE2-RED)/(RE2+RED) — dswi_harmonic_tsi.py:103-104."""
+    return _nd(re2, red)
+
+
+def msi(swir1: Column, bnir: Column) -> Column:
+    """MSI = SWIR1/BNIR — dswi_harmonic_tsi.py:107-108."""
+    return swir1 / bnir
+
+
+def ndwi(bnir: Column, swir1: Column) -> Column:
+    """NDWI = (BNIR-SWIR1)/(BNIR+SWIR1) — dswi_harmonic_tsi.py:109-110
+    (the Gao moisture variant the reference uses)."""
+    return _nd(bnir, swir1)
+
+
+def vmi(bnir: Column, swir2: Column) -> Column:
+    """VMI = ((BNIR+0.1)-(SWIR2+0.02))/((BNIR+0.1)+(SWIR2+0.02)) —
+    dswi_harmonic_tsi.py:111-112."""
+    return _nd(bnir + 0.1, swir2 + 0.02)
+
+
+def ccci(bnir: Column, re1: Column, red: Column) -> Column:
+    """CCCI = NDRE/NDVI = ((BNIR-RE1)/(BNIR+RE1))/((BNIR-RED)/(BNIR+RED))
+    — dswi_harmonic_tsi.py:113-114."""
+    return _nd(bnir, re1) / _nd(bnir, red)
 
 
 # --- C2/C3 scaling ------------------------------------------------------------
 
 def scale_int16(v: Column, factor: int = 1000) -> Column:
-    """round(v*factor) cast to smallint — udf_block.py:54."""
-    return F.round(v * factor).cast("smallint")
+    """np.round(v*factor) cast to smallint — udf_block.py:54. Half-EVEN
+    (banker's) via rint, the same rule pack_tokens uses — numpy's np.round
+    is half-even, so Spark's HALF_UP F.round would flip .5-on-even values
+    (2.5 -> 3 instead of the reference's 2)."""
+    return F.rint(v * factor).cast("smallint")
 
 
 def feature_norm(v: Column) -> Column:

@@ -14,10 +14,30 @@ population moments (ddof=0) to match the reference's numpy defaults
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sits_classification_spark.functions.scalar import day_to_date  # C4 codec (one impl)
+
+# stats whose raw-moment formulas lose precision catastrophically when
+# |mean| >> std (E[x^4] cancellation): computed on per-group SHIFTED values
+# instead — skewness/kurtosis are shift-invariant, so the result is exact
+_SHIFT_STATS = {"SKW", "KRT"}
+
+
+def _shift_by_group_mean(
+    df: DataFrame, value_col: str, part_cols: tuple[str, ...]
+) -> DataFrame:
+    """Add `_vc` = value - avg(value) over the fold group. The window
+    partitions on the same columns the fold groups by, so it rides the same
+    exchange (at the cost of map-side partial aggregation — only paid for
+    the two shift-sensitive stats). The MEAN pivot (not min) matters: after
+    a mean shift the summed cubes/quads are mixed-sign and O(std^k), so the
+    naive-summation error is ~n*eps*std^k instead of ~n*eps*range^k."""
+    w = Window.partitionBy(*part_cols)
+    return df.withColumn(
+        "_vc", F.col(value_col) - F.avg(value_col).over(w)
+    )
 
 
 def period_bucket(day: str | Column, period: str) -> Column:
@@ -91,13 +111,14 @@ def fold_by_period(
 
     Output: (*keys, bucket int, value double, n_obs int).
     """
-    return (
-        df.withColumn("bucket", period_bucket(day_col, period))
-        .groupBy(*keys, "bucket")
-        .agg(
-            fold_stat_expr(value_col, stat).alias("value"),
-            F.count(value_col).alias("n_obs"),
-        )
+    df = df.withColumn("bucket", period_bucket(day_col, period))
+    vcol = value_col
+    if stat.upper() in _SHIFT_STATS:
+        df = _shift_by_group_mean(df, value_col, (*keys, "bucket"))
+        vcol = "_vc"
+    return df.groupBy(*keys, "bucket").agg(
+        fold_stat_expr(vcol, stat).alias("value"),
+        F.count(value_col).alias("n_obs"),
     )
 
 
@@ -110,13 +131,14 @@ def fold_from_bucket(
 ) -> DataFrame:
     """Fold an already-bucketed tier into a coarser bucket (FBM -> FBQ):
     e.g. month id YYYYMM -> quarter id YYYYQ without touching raw data."""
-    return (
-        df.withColumn("bucket2", bucket_map)
-        .groupBy(*keys, F.col("bucket2").alias("bucket"))
-        .agg(
-            fold_stat_expr(value_col, stat).alias("value"),
-            F.count(value_col).alias("n_obs"),
-        )
+    df = df.withColumn("bucket2", bucket_map)
+    vcol = value_col
+    if stat.upper() in _SHIFT_STATS:
+        df = _shift_by_group_mean(df, value_col, (*keys, "bucket2"))
+        vcol = "_vc"
+    return df.groupBy(*keys, F.col("bucket2").alias("bucket")).agg(
+        fold_stat_expr(vcol, stat).alias("value"),
+        F.count(value_col).alias("n_obs"),
     )
 
 

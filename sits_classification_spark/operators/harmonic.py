@@ -74,12 +74,18 @@ def harmonic_fit(
     value_col: str = "value",
     period: float = YEAR_DAYS,
     t0: float = 0.0,
+    fit_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per-doc harmonic coefficients + in-sample RMSE (NRT residual base).
 
     `period`/`t0` pin the basis phase: the reference fits annual harmonics
     (dswi_harmonic_tsi.py:35-52); short fit windows want a matching period
-    or the design goes collinear."""
+    or the design goes collinear.
+
+    `fit_range=(lo, hi)` restricts the FIT to observations with
+    lo <= day <= hi (the NRT break-detection setup, TSA.prm:246-261: fit a
+    stable history window, predict outside it via harmonic_eval and judge
+    new observations by their residuals). rmse/n are over the fit window."""
     idt = _coltype(long, "doc_id")
     schema = (
         f"doc_id {idt}, source string, coef array<double>, rmse double, n int"
@@ -87,6 +93,13 @@ def harmonic_fit(
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.dropna(subset=[value_col]).sort_values(day_col)
+        if fit_range is not None:
+            lo, hi = fit_range
+            pdf = pdf[(pdf[day_col] >= lo) & (pdf[day_col] <= hi)]
+            if not len(pdf):
+                return pd.DataFrame(
+                    columns=["doc_id", "source", "coef", "rmse", "n"]
+                )
         d = pdf[day_col].to_numpy(dtype=np.float64)
         v = pdf[value_col].to_numpy(dtype=np.float64)
         coef = harmonic_fit_kernel(d, v, modes, trend, period, t0)
@@ -105,7 +118,10 @@ def harmonic_fit(
             }
         )
 
-    return map_doc_groups(long, fit, schema, order_cols=(day_col,))
+    # composite key: a doc_id appearing under two sources is two series
+    return map_doc_groups(
+        long, fit, schema, key=("doc_id", "source"), order_cols=(day_col,)
+    )
 
 
 def harmonic_eval_sql(
@@ -226,7 +242,9 @@ def rbf_smooth(
         out["smoothed"] = sm
         return out
 
-    return map_doc_groups(long, smooth, schema, order_cols=(day_col,))
+    return map_doc_groups(
+        long, smooth, schema, key=("doc_id", "source"), order_cols=(day_col,)
+    )
 
 
 def rbf_radii(
@@ -388,4 +406,6 @@ def noise_filter(
         out["kept"] = keep
         return out
 
-    return map_doc_groups(long, screen, schema, order_cols=(day_col,))
+    return map_doc_groups(
+        long, screen, schema, key=("doc_id", "source"), order_cols=(day_col,)
+    )

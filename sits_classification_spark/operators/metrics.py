@@ -16,18 +16,20 @@ from pyspark.sql import functions as F
 
 
 def class_histogram(df: DataFrame, label_col: str = "label") -> DataFrame:
-    """A5: per-class counts + balanced inverse-frequency weights
-    total/(k*n), the sklearn 'balanced' rule (trainer.py:95-123 semantics;
-    the weighted sample count per class is equal, the weight MEAN is 1 only
-    for perfectly balanced data)."""
+    """A5: per-class counts + inverse-frequency weights, the reference rule
+    (trainer.py:105-116): w_c = (1/n_c) / sum_present(1/n_j) * k_present —
+    inverse counts rescaled so the MEAN weight over present classes is 1
+    (counts [1,3] -> weights [1.5, 0.5]). Absent classes never appear here
+    (the reference assigns them 0; a groupBy has no row to carry it)."""
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(
-        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+        F.sum(F.lit(1.0) / F.col("n")).alias("inv_sum"),
+        F.count(F.lit(1)).alias("k"),
     )
     return counts.crossJoin(F.broadcast(total)).select(
         label_col,
         "n",
-        (F.col("total") / (F.col("k") * F.col("n"))).alias("weight"),
+        ((F.lit(1.0) / F.col("n")) / F.col("inv_sum") * F.col("k")).alias("weight"),
     )
 
 

@@ -136,5 +136,5 @@ def lsp_metrics(
     idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
     return map_doc_groups(
         tier_10d_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
-        order_cols=("grid_day",),
+        key=("doc_id", "source"), order_cols=("grid_day",),
     )

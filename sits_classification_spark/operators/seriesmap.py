@@ -29,17 +29,26 @@ def map_doc_groups(
     long: DataFrame,
     per_group: Callable[[pd.DataFrame], pd.DataFrame],
     schema: str,
-    key: str = "doc_id",
+    key: str | tuple[str, ...] = "doc_id",
     order_cols: tuple[str, ...] = ("day",),
     partitions: int | None = None,
 ) -> DataFrame:
-    """Apply a (one-series pdf) -> pdf kernel to every `key` group."""
+    """Apply a (one-series pdf) -> pdf kernel to every `key` group.
+
+    `key` may be composite (e.g. ``("doc_id", "source")``) — rows are
+    co-partitioned on the first component and groups are contiguous on the
+    full tuple, so a doc_id appearing under two sources is dispatched as two
+    independent series, never interleaved."""
+    keys = (key,) if isinstance(key, str) else tuple(key)
     if partitions is None:
         partitions = max(long.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    df = long.repartition(partitions, key).sortWithinPartitions(key, *order_cols)
+    df = long.repartition(partitions, keys[0]).sortWithinPartitions(
+        *keys, *order_cols
+    )
+    gb = list(keys) if len(keys) > 1 else keys[0]
 
     def flush(pdf: pd.DataFrame):
-        outs = [per_group(g) for _, g in pdf.groupby(key, sort=False)]
+        outs = [per_group(g) for _, g in pdf.groupby(gb, sort=False)]
         outs = [o for o in outs if len(o)]
         if outs:
             yield pd.concat(outs, ignore_index=True)
@@ -51,9 +60,10 @@ def map_doc_groups(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            # the trailing doc may continue in the next batch — hold it back
-            last = pdf[key].iloc[-1]
-            mask = pdf[key] == last
+            # the trailing group may continue in the next batch — hold it back
+            mask = pd.Series(True, index=pdf.index)
+            for k in keys:
+                mask &= pdf[k] == pdf[k].iloc[-1]
             carry = pdf[mask]
             body = pdf[~mask]
             if len(body):

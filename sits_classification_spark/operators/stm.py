@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sits_classification_spark.operators.folds import fold_stat_expr
+from sits_classification_spark.operators.folds import (
+    _SHIFT_STATS,
+    _shift_by_group_mean,
+    fold_stat_expr,
+)
 
 
 STM_DEFAULT = ("MIN", "Q25", "Q50", "Q75", "MAX", "AVG", "STD", "RNG", "IQR", "NUM")
@@ -29,8 +33,16 @@ def stm(
     keys: tuple[str, ...] = ("doc_id", "source"),
     stats: tuple[str, ...] = STM_DEFAULT,
 ) -> DataFrame:
-    """Per-series spectral-temporal metrics, one column per statistic."""
-    aggs = [fold_stat_expr(value_col, s).alias(s.lower()) for s in stats]
+    """Per-series spectral-temporal metrics, one column per statistic.
+    SKW/KRT are computed on per-group shifted values (shift-invariant stats;
+    raw E[x^4] moments cancel catastrophically when |mean| >> std)."""
+    vcols = {s: value_col for s in stats}
+    if any(s.upper() in _SHIFT_STATS for s in stats):
+        df = _shift_by_group_mean(df, value_col, keys)
+        for s in stats:
+            if s.upper() in _SHIFT_STATS:
+                vcols[s] = "_vc"
+    aggs = [fold_stat_expr(vcols[s], s).alias(s.lower()) for s in stats]
     return df.groupBy(*keys).agg(*aggs)
 
 

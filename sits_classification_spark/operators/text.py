@@ -144,23 +144,37 @@ def winnow_fingerprints(
     JVM-side. The k-gram hash is the shared md5->int64 (a Rabin-Karp
     rolling hash is an equivalence-preserving optimization hidden behind
     the hash interface; md5 keeps bit-parity with the SQL oracle).
-    Output: (doc_id, fp) exploded — one row per distinct fingerprint."""
+    Output: (doc_id, fp) exploded — one row per distinct fingerprint.
+
+    Short-doc fallback (mirrors minhash's whole-doc fallback): a doc with
+    fewer than w k-grams still emits min(h) over all its k-grams (the
+    pos=0 clipped window), and a doc with fewer than k tokens emits the
+    whole-doc hash — no doc ever has zero fingerprints, so short exact
+    dups remain matchable."""
     from pyspark.sql import Window
 
+    wd = words(text_col)
     sh = df.select(
         "doc_id",
         F.posexplode(
-            F.transform(ngram_shingles(words(text_col), k), word_hash60)
+            F.transform(ngram_shingles(wd, k), word_hash60)
         ).alias("pos", "h"),
     )
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
     n = Window.partitionBy("doc_id")
-    return (
+    full = (
         sh.withColumn("wmin", F.min("h").over(win))
         .withColumn("_n", F.count(F.lit(1)).over(n))
-        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        # full windows; docs with < w k-grams keep the pos=0 clipped window
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
     )
+    tiny = (
+        df.select("doc_id", wd.alias("_w"))
+        .filter((F.size("_w") > 0) & (F.size("_w") < k))
+        .select("doc_id", word_hash60(F.concat_ws(" ", "_w")).alias("fp"))
+    )
+    return full.unionByName(tiny)

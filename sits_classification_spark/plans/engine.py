@@ -133,6 +133,29 @@ class Engine:
 
     # -- per-series analysis over a tier (the TSA output menu) ---------------
 
+    def _analysis_long(self, tier: str) -> DataFrame:
+        """tier_long with `bucket` guaranteed to be in DAY units.
+
+        tier_raw/tier_10d buckets already are epoch days. tier_monthly
+        (YYYYMM) and tier_seasonal (YYYYQ) carry calendar ids — feeding those
+        straight into OLS x-values, harmonic periods (in days), or the DOY
+        codec would silently produce garbage (the same hazard `fold` guards
+        against), so they are converted to the representative mid-period
+        epoch day (15th of the month / 15th of the quarter's middle month)
+        before analysis."""
+        long = self.tier_long(tier)
+        if tier in ("tier_raw", "tier_10d"):
+            return long
+        b = F.col("bucket")
+        if tier == "tier_monthly":
+            d = F.make_date(F.floor(b / 100), b % 100, F.lit(15))
+        elif tier == "tier_seasonal":
+            d = F.make_date(F.floor(b / 10), (b % 10 - 1) * 3 + 2, F.lit(15))
+        else:
+            raise ValueError(f"unknown tier {tier!r}")
+        day = F.datediff(d, F.to_date(F.lit("1970-01-01"))).cast("long")
+        return long.withColumn("bucket", day)
+
     def stm(self, tier: str, stats: tuple[str, ...] | None = None) -> DataFrame:
         """A1 spectral-temporal metrics per series (TSA.prm:300-312)."""
         from sits_classification_spark.operators.stm import STM_DEFAULT, stm
@@ -146,7 +169,7 @@ class Engine:
         significance decision (TSA.prm:483-497)."""
         from sits_classification_spark.operators import stm as S
 
-        long = self.tier_long(tier)
+        long = self._analysis_long(tier)
         if tail is None:
             return S.trend(long, x_col="bucket", y_col="value")
         return S.trend_significance(
@@ -166,7 +189,7 @@ class Engine:
             harmonic_fit,
         )
 
-        long = self.tier_long(tier)
+        long = self._analysis_long(tier)
         fit = harmonic_fit(long, modes=modes, trend=trend, day_col="bucket")
         if horizon <= 0:
             return fit
@@ -188,7 +211,7 @@ class Engine:
         from pyspark.sql import Window
         from sits_classification_spark.operators.harmonic import noise_filter
 
-        long = self.tier_long(tier)
+        long = self._analysis_long(tier)
         if iterative:
             return noise_filter(
                 long, above_noise=self.cfg.above_noise, day_col="bucket"
@@ -217,7 +240,7 @@ class Engine:
             pol_metrics,
         )
 
-        long = self.tier_long(tier)
+        long = self._analysis_long(tier)
         if variant == "polar":
             return pol_metrics(long, day_col="bucket")
         return lsp_metrics(long.withColumnRenamed("bucket", "grid_day"))

@@ -246,3 +246,26 @@ def test_winnowing_guarantee_and_density(spark):
         .count()
     )
     assert ab >= 1 and ac == 0
+
+
+def test_winnowing_short_doc_fallback(spark):
+    """Docs shorter than w+k-1 tokens still emit a fingerprint: a short
+    exact-dup pair shares it (minhash_base-style whole-doc fallback)."""
+    from sits_classification_spark.operators.text import winnow_fingerprints
+
+    d = spark.createDataFrame(
+        [
+            ("s1", "tiny duplicate text here"),   # 4 tokens: 2 shingles < w
+            ("s2", "tiny duplicate text here"),
+            ("t1", "hi there"),                    # 2 tokens: < k, no shingle
+            ("t2", "hi there"),
+            ("u", "something else"),
+        ],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints(d, k=3, w=4).toPandas()
+    by_doc = fps.groupby("doc_id")["fp"].apply(set)
+    assert all(len(by_doc.get(k, set())) >= 1 for k in ("s1", "s2", "t1", "t2", "u"))
+    assert by_doc["s1"] & by_doc["s2"]
+    assert by_doc["t1"] & by_doc["t2"]
+    assert not (by_doc["t1"] & by_doc["u"])

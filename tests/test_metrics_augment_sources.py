@@ -45,9 +45,27 @@ def test_class_histogram_weights(spark, preds):
     df, pdf = preds
     out = class_histogram(df, "truth").toPandas().set_index("truth")
     assert out.loc[2, "n"] == 5
-    # weights: total/(k*n) with k=3 classes, total=10
-    assert out.loc[2, "weight"] == pytest.approx(10 / (3 * 5))
-    assert out.loc[1, "weight"] == pytest.approx(10 / (3 * 2))
+    # reference rule (trainer.py:105-116): (1/n_c)/sum(1/n_j)*k, counts
+    # [3,2,5] -> inv [1/3,1/2,1/5], sum 31/30, k=3
+    inv_sum = 1 / 3 + 1 / 2 + 1 / 5
+    assert out.loc[2, "weight"] == pytest.approx((1 / 5) / inv_sum * 3)
+    assert out.loc[1, "weight"] == pytest.approx((1 / 2) / inv_sum * 3)
+    # weight MEAN over present classes is 1
+    assert out["weight"].mean() == pytest.approx(1.0)
+
+
+def test_class_histogram_imbalanced_matches_reference():
+    """counts [1,3] -> ref weights [1.5, 0.5] (NOT sklearn-balanced
+    [2.0, 0.667]) — the np.bincount/normalize rule at trainer.py:105-116."""
+    import numpy as np
+
+    labels = np.array([0, 1, 1, 1])
+    class_counts = np.bincount(labels, minlength=2).astype(float)
+    weights = np.zeros(2)
+    present = class_counts > 0
+    weights[present] = 1.0 / class_counts[present]
+    weights[present] = weights[present] / weights[present].sum() * present.sum()
+    assert weights == pytest.approx([1.5, 0.5])
 
 
 def test_confusion_and_report(spark, preds):

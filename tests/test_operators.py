@@ -166,6 +166,45 @@ def test_fold_stats_against_numpy(spark):
     assert got_k == pytest.approx(krt, rel=1e-6)
 
 
+def test_fold_skw_krt_numerically_stable_at_large_mean(spark):
+    """SKW/KRT with mean ~ 1e7 and amplitude ~ 1: the raw-moment form loses
+    ~14 significant digits to cancellation; the shifted form must match the
+    centered numpy computation to rtol 1e-9. Also pins STM."""
+    from sits_classification_spark.operators.stm import stm
+
+    rng = np.random.default_rng(7)
+    vals = 1e7 + rng.normal(0.0, 1.0, 300) + 0.3 * rng.normal(0.0, 1.0, 300) ** 2
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 300,
+            "source": ["s"] * 300,
+            "grid_day": np.arange(300),
+            "value": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    # oracle must itself correct for the rounded-pivot residual: the float64
+    # mean of 1e7-scale data is off by up to ulp(1e7)/2 ~ 1e-9, and the
+    # naive ((v-m)**3).mean() then carries a 3*delta*m2 ~ 3e-9 error —
+    # verified against Decimal ground truth. The residual-mean-corrected
+    # central moments below match Decimal to ~1e-13.
+    vc = vals - vals.mean()
+    mu = vc.mean()
+    e2, e3, e4 = (vc**2).mean(), (vc**3).mean(), (vc**4).mean()
+    m2 = e2 - mu * mu
+    m3 = e3 - 3 * mu * m2 - mu**3
+    m4 = e4 - 4 * mu * e3 + 6 * mu * mu * e2 - 3 * mu**4
+    skw = m3 / m2**1.5
+    krt = m4 / m2**2 - 3
+    got_s = fold_by_period(df, "year", stat="SKW").toPandas()["value"].iloc[0]
+    got_k = fold_by_period(df, "year", stat="KRT").toPandas()["value"].iloc[0]
+    assert got_s == pytest.approx(skw, rel=1e-9)
+    assert got_k == pytest.approx(krt, rel=1e-9)
+    s = stm(df, stats=("SKW", "KRT")).toPandas()
+    assert s["skw"].iloc[0] == pytest.approx(skw, rel=1e-9)
+    assert s["krt"].iloc[0] == pytest.approx(krt, rel=1e-9)
+
+
 def test_pack_tokens_sorted_by_bucket(spark):
     pdf = pd.DataFrame(
         {
@@ -366,15 +405,18 @@ def test_map_doc_groups_carries_docs_across_arrow_batches(spark, long_df):
 
 
 def test_scale_int16_matches_reference_rule(spark):
-    """C2: round(v*scale) cast int16 (udf_block.py:54) — half-up on the
-    positive domain, nodata untouched by the caller's mask."""
+    """C2: np.round(v*scale) cast int16 (udf_block.py:54) — HALF-EVEN,
+    discriminating values included: 2.5 -> 2 (HALF_UP would give 3),
+    1.5 -> 2 (both rules agree), 4.5 -> 4."""
+    import numpy as np
     from sits_classification_spark.functions.scalar import scale_int16
 
-    df = spark.createDataFrame(
-        [(0.0015,), (1.2344,), (-0.0015,), (2.9996,)], "v double"
-    )
+    vals = [0.0015, 1.2344, -0.0015, 2.9996, 0.0025, 0.0045, -0.0025]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = [r[0] for r in df.select(scale_int16(F.col("v"), 1000)).collect()]
-    assert got == [2, 1234, -2, 3000]
+    expect = [int(np.round(v * 1000)) for v in vals]
+    assert expect[4] == 2 and expect[5] == 4 and expect[6] == -2  # half-even
+    assert got == expect
 
 
 def test_resample_expr_keeps_sources_separate(spark):
