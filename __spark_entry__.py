@@ -447,6 +447,51 @@ def q_harmonic_forecast(spark, sf):
     )
 
 
+_NRT_CUTOFF = 19740  # fit window = days <= cutoff (~60% of the event range)
+
+
+def q_harmonic_nrt(spark, sf):
+    """W5 fit sub-range (the NRT break-detection setup, TSA.prm:246-261):
+    fit the 1-mode harmonic on the HISTORY window (day <= cutoff) only,
+    evaluate the fitted curve at every observed day — in and out of the fit
+    window — and emit residuals; out-of-window rows are the monitoring
+    region (is_forecast). Engine twin: harmonic_fit(fit_range=(lo, hi)) +
+    harmonic_eval; here in closed form for textual oracle parity."""
+    from sits_classification_spark.operators.harmonic import harmonic_eval_expr
+
+    s = _series(spark, sf)
+    s = s.withColumn("c", F.expr("cos(2*pi()*(day-19700)/30.0)")).withColumn(
+        "s", F.expr("sin(2*pi()*(day-19700)/30.0)")
+    )
+    sums = s.filter(F.col("day") <= _NRT_CUTOFF).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.expr("c*c")).alias("scc"),
+        F.sum(F.expr("s*s")).alias("sss"),
+        F.sum(F.expr("c*s")).alias("scs"),
+        F.sum("value").alias("sy"),
+        F.sum(F.expr("c*value")).alias("scy"),
+        F.sum(F.expr("s*value")).alias("ssy"),
+    )
+    coefs = sums.select(
+        "doc_id",
+        F.expr(f"{_HARM_A0} / {_HARM_DET}").alias("a0"),
+        F.expr(f"{_HARM_A1} / {_HARM_DET}").alias("a1"),
+        F.expr(f"{_HARM_B1} / {_HARM_DET}").alias("b1"),
+        F.col("n").alias("n_fit"),
+    )
+    fitted = harmonic_eval_expr(1, 30.0, 19700.0)
+    return s.join(F.broadcast(coefs), "doc_id").select(
+        "doc_id",
+        F.col("day").cast("long").alias("day"),
+        F.round(fitted, 4).alias("fitted"),
+        F.round(F.col("value") - fitted, 4).alias("resid"),
+        (F.col("day") > _NRT_CUTOFF).alias("is_forecast"),
+        F.col("n_fit").cast("long").alias("n_fit"),
+    )
+
+
 def q_qai_screen(spark, sf):
     """F1 QAI bitmask screening (TSA.prm:135-141): synthetic quality flags
     derived from event_id; drop rows whose bits intersect
@@ -722,6 +767,27 @@ def q_lsp_phenology(spark, sf):
         "doc_id", *longs,
         F.round("amplitude", 6).alias("amplitude"),
         F.round("integral", 4).alias("integral"),
+    )
+
+
+def q_spl_phenology(spark, sf):
+    """W12 SPL variant, fit half (TSA.prm:355-407): cubic regression-spline
+    coefficients (truncated-power basis, LSP_N_SEGMENT=2, t normalized to
+    the doc's grid range) over the 3-day interp tier, via grouped-pandas
+    lstsq. Oracle: the generic unrolled normal-equations solve. The season
+    detection on the smoothed curve (spl_metrics) shares lsp_kernel with
+    the oracle-green threshold variant and is pinned by pytest."""
+    from sits_classification_spark.operators.phenology import spline_fit
+
+    s = resample_expr(
+        _series(spark, sf).withColumn("source", F.lit("events")), int_day=3
+    ).select("doc_id", F.lit("events").alias("source"), "grid_day", "value")
+    out = spline_fit(s, n_segments=2)
+    sel = [F.round(F.col("coef")[i], 4).alias(f"c{i}") for i in range(5)]
+    return out.select(
+        "doc_id", *sel,
+        F.round("rmse", 5).alias("rmse"),
+        F.col("n").cast("long").alias("n"),
     )
 
 
@@ -1337,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "harmonic_user": q_harmonic_user,
         "harmonic_forecast": q_harmonic_forecast,
+        "harmonic_nrt": q_harmonic_nrt,
         "qai_screen": q_qai_screen,
         "doy_window": q_doy_window,
         "cat_change": q_cat_change,
@@ -1353,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "end_padding": q_end_padding,
         "screen_pipeline": q_screen_pipeline,
         "lsp_phenology": q_lsp_phenology,
+        "spl_phenology": q_spl_phenology,
         "harmonic_fit_m2": q_harmonic_fit_m2,
         "augment_zero_out": q_augment_zero_out,
         "positional_encoding": q_positional_encoding,
@@ -1463,13 +1531,8 @@ def _rbf_oracle_sql() -> str:
 
 
 def _harm2_oracle_sql() -> str:
-    """DuckDB oracle for the 2-mode harmonic fit: build the 5x5 normal
-    equations per doc, solve by unrolled Gaussian elimination (SPD — no
-    pivoting needed), then compute in-sample RMSE. The Spark side solves the
-    same least-squares problem via numpy lstsq; both land on the unique
-    minimizer of a well-conditioned system, so round(4/5) absorbs the
-    algorithmic difference."""
-    N = 5
+    """DuckDB oracle for the 2-mode harmonic fit: 5x5 normal equations per
+    doc over the shared event series."""
     basis = [
         "1",
         "cos(2*pi()*(day-19700)/30.0)",
@@ -1477,6 +1540,24 @@ def _harm2_oracle_sql() -> str:
         "cos(4*pi()*(day-19700)/30.0)",
         "sin(4*pi()*(day-19700)/30.0)",
     ]
+    return _normal_eq_oracle_sql(basis, f"series AS ({_SERIES_SQL})", "series")
+
+
+def _normal_eq_oracle_sql(
+    basis: list[str],
+    src_ctes: str,
+    src_name: str,
+    coef_round: int = 4,
+    rmse_round: int = 5,
+) -> str:
+    """Generic least-squares SQL oracle: build the NxN normal equations per
+    doc over `basis` (SQL exprs referencing columns of the `src_name` CTE;
+    basis[0] must be the intercept '1'), solve by unrolled Gaussian
+    elimination (SPD — no pivoting needed), then compute in-sample RMSE.
+    The Spark side solves the same least-squares problem via numpy lstsq;
+    both land on the unique minimizer of a well-conditioned system, so
+    round(coef_round/rmse_round) absorbs the algorithmic difference."""
+    N = len(basis)
     bas_cols = ", ".join(f"{b} AS f{i}" for i, b in enumerate(basis[1:], start=1))
     gram = []
     for i in range(N):
@@ -1529,11 +1610,11 @@ def _harm2_oracle_sql() -> str:
         x[i] = f"((pb{i} - {terms})/p{i}_{i})"
     xsel = ", ".join(f"{x[i]} AS x{i}" for i in range(N))
     fitted = " + ".join(["x0"] + [f"x{i}*f{i}" for i in range(1, N)])
-    csel = ", ".join(f"round(x{i}, 4) AS c{i}" for i in range(N))
+    csel = ", ".join(f"round(x{i}, {coef_round}) AS c{i}" for i in range(N))
     return f"""
-        WITH series AS ({_SERIES_SQL}),
+        WITH {src_ctes},
         bas AS (SELECT doc_id, value, {bas_cols}
-                FROM series WHERE value IS NOT NULL),
+                FROM {src_name} WHERE value IS NOT NULL),
         g AS (SELECT doc_id, count(*) AS n, {', '.join(gram)}, {', '.join(rhs)}
               FROM bas GROUP BY doc_id HAVING count(*) >= {N}),
         {', '.join(ctes)},
@@ -1541,7 +1622,7 @@ def _harm2_oracle_sql() -> str:
         res AS (SELECT s.doc_id, s.value - ({fitted}) AS resid
                 FROM bas s JOIN sol USING (doc_id))
         SELECT sol.doc_id, {csel},
-               round(sqrt(avg(resid*resid)), 5) AS rmse,
+               round(sqrt(avg(resid*resid)), {rmse_round}) AS rmse,
                CAST(n AS BIGINT) AS n
         FROM sol JOIN res ON sol.doc_id = res.doc_id
         GROUP BY sol.doc_id, n, {', '.join(f'x{i}' for i in range(N))}
@@ -2078,6 +2159,29 @@ def oracle_sql() -> dict[str, str]:
                    day > hi AS is_forecast
             FROM grid
         """,
+        "harmonic_nrt": f"""
+            WITH series AS ({_SERIES_SQL}),
+            fitobs AS (SELECT doc_id, value,
+                              cos(2*pi()*(day-19700)/30.0) AS c,
+                              sin(2*pi()*(day-19700)/30.0) AS s
+                       FROM series WHERE day <= {_NRT_CUTOFF}),
+            sums AS (SELECT doc_id, count(*) AS n,
+                            sum(c) AS sc, sum(s) AS ss,
+                            sum(c*c) AS scc, sum(s*s) AS sss, sum(c*s) AS scs,
+                            sum(value) AS sy, sum(c*value) AS scy, sum(s*value) AS ssy
+                     FROM fitobs GROUP BY doc_id),
+            coefs AS (SELECT doc_id,
+                             {_HARM_A0} / {_HARM_DET} AS a0,
+                             {_HARM_A1} / {_HARM_DET} AS a1,
+                             {_HARM_B1} / {_HARM_DET} AS b1,
+                             n FROM sums)
+            SELECT s.doc_id, s.day,
+                   round({_harm_eval1()}, 4) AS fitted,
+                   round(s.value - ({_harm_eval1()}), 4) AS resid,
+                   s.day > {_NRT_CUTOFF} AS is_forecast,
+                   CAST(n AS BIGINT) AS n_fit
+            FROM series s JOIN coefs USING (doc_id)
+        """,
         "qai_screen": """
             SELECT event_id, user_id AS doc_id,
                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -2125,6 +2229,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rbf_smooth_user": _rbf_oracle_sql(),
         "lsp_phenology": _lsp_oracle_sql(),
+        "spl_phenology": _normal_eq_oracle_sql(
+            [
+                "1", "t", "t*t", "t*t*t",
+                "(greatest(t - 0.5, 0.0)*greatest(t - 0.5, 0.0)*greatest(t - 0.5, 0.0))",
+            ],
+            f"""t0 AS ({_interp_sql(3, _INTERP_RAW)}),
+            spl_src AS (
+                SELECT doc_id, value,
+                       (grid_day - min(grid_day) OVER (PARTITION BY doc_id))
+                       / (CAST(max(grid_day) OVER (PARTITION BY doc_id) AS DOUBLE)
+                          - min(grid_day) OVER (PARTITION BY doc_id)) AS t
+                FROM t0)""",
+            "spl_src",
+        ),
         "cascade_monthly": _cascade_monthly_oracle_sql(),
         "retention_monthly": f"""
             SELECT * FROM ({_cascade_monthly_oracle_sql()})

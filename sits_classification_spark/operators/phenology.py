@@ -138,3 +138,126 @@ def lsp_metrics(
         tier_10d_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
         key=("doc_id", "source"), order_cols=("grid_day",),
     )
+
+
+# --- W12 SPL (spline) variant -------------------------------------------------
+
+def spline_design(t: np.ndarray, n_segments: int) -> np.ndarray:
+    """Truncated-power cubic regression-spline basis on t (normalized to
+    [0, 1]): [1, t, t^2, t^3, (t-k_j)_+^3] with interior knots k_j = j/n_seg
+    — LSP_N_SEGMENT segments per window (``force/skel/TSA.prm:372-377``).
+    n_segments + 3 columns."""
+    t = t.astype(np.float64)
+    cols = [np.ones_like(t), t, t * t, t * t * t]
+    for j in range(1, n_segments):
+        k = j / n_segments
+        g = np.maximum(t - k, 0.0)
+        cols.append(g * g * g)  # explicit multiply: bit-parity with SQL g*g*g
+    return np.column_stack(cols)
+
+
+def spline_fit_kernel(
+    t: np.ndarray, v: np.ndarray, n_segments: int
+) -> tuple[np.ndarray, float] | None:
+    """Least-squares spline coefficients + in-sample RMSE, or None if
+    underdetermined."""
+    X = spline_design(t, n_segments)
+    if t.size < X.shape[1]:
+        return None
+    coef, *_ = np.linalg.lstsq(X, v.astype(np.float64), rcond=None)
+    resid = v - X @ coef
+    return coef, float(np.sqrt(np.mean(resid**2)))
+
+
+def spl_metrics(
+    tier_long: DataFrame,
+    n_segments: int = 4,
+    amp_threshold: float = 0.2,
+    day_col: str = "grid_day",
+    value_col: str = "value",
+) -> DataFrame:
+    """W12 SPL variant (``TSA.prm:355-407``, the SPLITS-based LSP): fit a
+    cubic regression spline with LSP_N_SEGMENT segments to each (doc, year)
+    window (t = position within the window, normalized to [0, 1]), then run
+    the LSP_AMP_THRESHOLD season detection on the SMOOTHED values — the
+    spline is the noise screen SPLITS provides over raw observations.
+
+    Grouped Arrow kernel (numpy lstsq per doc-year); same output schema as
+    the threshold variant lsp_metrics."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        days = pdf[day_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        years = (
+            days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970
+        )
+        rows = []
+        for yr in np.unique(years):
+            m = years == yr
+            d, v = days[m], vals[m]
+            if d.size < 2 or d[-1] == d[0]:
+                continue
+            t = (d - d[0]) / (d[-1] - d[0])
+            fit = spline_fit_kernel(t, v, n_segments)
+            if fit is None:
+                continue
+            coef, _ = fit
+            smoothed = spline_design(t, n_segments) @ coef
+            r = lsp_kernel(d, smoothed, amp_threshold)
+            if r is None:
+                continue
+            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "source", "year", "sos_day", "pos_day", "eos_day",
+                "sos_value", "pos_value", "eos_value", "amplitude",
+                "season_length", "integral",
+            ],
+        )
+
+    idt = {f.name: f.dataType.simpleString() for f in tier_long.schema.fields}["doc_id"]
+    return map_doc_groups(
+        tier_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
+        key=("doc_id", "source"), order_cols=(day_col,),
+    )
+
+
+def spline_fit(
+    long: DataFrame,
+    n_segments: int = 2,
+    day_col: str = "grid_day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-doc spline fit over the WHOLE series (t normalized by the doc's
+    day range): coefficients + in-sample RMSE — the fit half of the SPL
+    variant, exposed separately so a normal-equations SQL oracle can check
+    it (cf. harmonic_fit_m2)."""
+    idt = {f.name: f.dataType.simpleString() for f in long.schema.fields}["doc_id"]
+    ncoef = n_segments + 3
+    schema = (
+        f"doc_id {idt}, source string, coef array<double>, rmse double, n int"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[value_col]).sort_values(day_col)
+        d = pdf[day_col].to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        if d.size < ncoef or d[-1] == d[0]:
+            return pd.DataFrame(columns=["doc_id", "source", "coef", "rmse", "n"])
+        t = (d - d[0]) / (d[-1] - d[0])
+        coef, rmse = spline_fit_kernel(t, v, n_segments)
+        return pd.DataFrame(
+            {
+                "doc_id": [pdf["doc_id"].iloc[0]],
+                "source": [pdf["source"].iloc[0]],
+                "coef": [coef],
+                "rmse": [rmse],
+                "n": [int(v.size)],
+            }
+        )
+
+    return map_doc_groups(
+        long, fit, schema, key=("doc_id", "source"), order_cols=(day_col,)
+    )

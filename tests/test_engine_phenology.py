@@ -125,3 +125,63 @@ def test_engine_apply_retention(spark, tmpdir_session):
         F.col("input_snapshot_id") == f"retention<{cutoff}"
     )
     assert lin.count() > 0
+
+
+def test_spl_metrics_smooths_noise_before_detection(spark):
+    """W12 SPL variant: the spline (4 segments/year) absorbs observation
+    noise, so SOS/POS/EOS land near the noise-free truth even when raw
+    threshold detection on the same noisy series would jitter. Also checks
+    the spline beats raw detection on the noisy peak day."""
+    from sits_classification_spark.operators.phenology import (
+        lsp_kernel,
+        spl_metrics,
+    )
+
+    rng = np.random.default_rng(11)
+    days = np.arange(0, 365, 5, dtype=np.int64)
+    clean = 50 + 100 * np.exp(-((days - 180.0) ** 2) / (2 * 40.0**2))
+    noisy = clean + rng.normal(0, 12.0, days.size)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * days.size,
+            "source": ["s"] * days.size,
+            "grid_day": days,
+            "value": noisy,
+        }
+    )
+    out = spl_metrics(
+        spark.createDataFrame(pdf), n_segments=4, amp_threshold=0.5
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    truth = lsp_kernel(days, clean, 0.5)
+    # clean-truth marks: sos/pos/eos within 3 grid steps of the spline's
+    assert abs(r["pos_day"] - truth[1]) <= 15
+    assert abs(r["sos_day"] - truth[0]) <= 15
+    assert abs(r["eos_day"] - truth[2]) <= 15
+    # amplitude of the smoothed curve is near the clean amplitude, far from
+    # the noisy raw range (which overshoots by the noise tails)
+    assert abs(r["amplitude"] - (clean.max() - clean.min())) < 25
+    raw_amp = noisy.max() - noisy.min()
+    assert abs(r["amplitude"] - 100) < abs(raw_amp - 100)
+
+
+def test_spline_fit_recovers_cubic_exactly(spark):
+    """spline_fit: a signal that IS a truncated-power spline (knot at the
+    range midpoint) is recovered with rmse 0 and exact coefficients."""
+    from sits_classification_spark.operators.phenology import spline_fit
+
+    d = np.arange(0, 33, 3, dtype=np.int64)
+    t = (d - d[0]) / (d[-1] - d[0])
+    g = np.maximum(t - 0.5, 0.0)
+    vals = 2.0 + 3.0 * t - 1.5 * t * t + 0.5 * t**3 + 4.0 * g * g * g
+    pdf = pd.DataFrame(
+        {"doc_id": ["a"] * d.size, "source": ["s"] * d.size,
+         "grid_day": d, "value": vals}
+    )
+    out = spline_fit(spark.createDataFrame(pdf), n_segments=2).collect()[0]
+    np.testing.assert_allclose(
+        np.array(out["coef"]), [2.0, 3.0, -1.5, 0.5, 4.0], atol=1e-9
+    )
+    assert out["rmse"] == pytest.approx(0.0, abs=1e-9)
+    assert out["n"] == d.size

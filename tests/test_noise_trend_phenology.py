@@ -91,3 +91,35 @@ def test_pol_metrics_concentrated_vs_uniform(spark):
     expected_doy = (19800 - (np.datetime64("2024-01-01") - np.datetime64("1970-01-01")).astype(int)) + 1
     assert out["c"]["mean_doy"] == pytest.approx(float(expected_doy), abs=1e-6)
     assert out["u"]["seasonality"] < 0.15
+
+
+def test_harmonic_fit_range_ignores_out_of_window_break(spark):
+    """fit_range (NRT setup, TSA.prm:246-261): a structural break AFTER the
+    fit window must not move the coefficients — the fit over (0, 19) with a
+    +100 jump at day >= 20 equals the fit of the clean series alone, and
+    harmonic_eval extrapolates the pre-break curve into the break region."""
+    a0, a1, b1, period = 5.0, 2.0, -1.0, 20.0
+
+    def f(d):
+        return a0 + a1 * math.cos(2 * math.pi * d / period) + b1 * math.sin(
+            2 * math.pi * d / period
+        )
+
+    rows = [("d", d, f(d) + (100.0 if d >= 20 else 0.0), "s") for d in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, day long, value double, source string"
+    )
+    fit = harmonic_fit(df, modes=1, period=period, fit_range=(0, 19))
+    r = fit.collect()[0]
+    assert r["n"] == 20
+    assert r["coef"][0] == pytest.approx(a0, abs=1e-9)
+    assert r["coef"][1] == pytest.approx(a1, abs=1e-9)
+    assert r["coef"][2] == pytest.approx(b1, abs=1e-9)
+    assert r["rmse"] == pytest.approx(0.0, abs=1e-9)
+    out = harmonic_eval(
+        fit.withColumn("lo", F.lit(0)).withColumn("hi", F.lit(39)),
+        modes=1, period=period, step=1,
+    ).toPandas().set_index("day")
+    # the monitoring region: residual vs the extrapolated curve exposes the
+    # break at exactly +100
+    assert out.loc[30, "fitted"] == pytest.approx(f(30), abs=1e-9)
