@@ -85,8 +85,11 @@ HEADLINE = [
     "trend_sig",
     "harmonic_fit_m2",
     "harmonic_forecast",
+    "harmonic_nrt",
     "lsp_phenology",
     "pol_phenology",
+    "spl_phenology",
+    "index_menu",
     "asof_purchase",
     "asof_tolerance_7d",
     "pricing_summary",

@@ -172,12 +172,15 @@ def harmonic_eval(
     horizon: int = 0,
     step: int = 1,
     trend: bool = False,
+    keys: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Evaluate per-doc fitted harmonics (output of ``harmonic_fit``, array
     `coef`) on an equidistant grid from the doc's own `lo`..`hi + horizon`
-    day range. fit_df needs columns (doc_id, coef, lo, hi). Rows past `hi`
+    day range. fit_df needs columns (*keys, coef, lo, hi). Rows past `hi`
     are flagged ``is_forecast`` (the NRT extrapolation region). `trend`
-    must match the fit: the trailing coef entry is the linear slope."""
+    must match the fit: the trailing coef entry is the linear slope.
+    Pass keys=("doc_id", "source") when a doc_id can repeat across sources
+    so each source's curve keeps its own bounds."""
     names = ["a0"]
     sel = [F.col("coef")[0].alias("a0")]
     for k in range(1, modes + 1):
@@ -188,14 +191,14 @@ def harmonic_eval(
         names.append("slope")
         sel.append(F.col("coef")[2 * modes + 1].alias("slope"))
     g = fit_df.select(
-        "doc_id", *sel, "hi",
+        *keys, *sel, "hi",
         F.explode(
             F.sequence("lo", F.col("hi") + horizon, F.lit(step))
         ).alias(day_col),
     )
     fitted = harmonic_eval_expr(modes, period, t0, day_col, tuple(names), trend)
     return g.select(
-        "doc_id", day_col,
+        *keys, day_col,
         fitted.alias("fitted"),
         (F.col(day_col) > F.col("hi")).alias("is_forecast"),
     )

@@ -193,12 +193,15 @@ class Engine:
         fit = harmonic_fit(long, modes=modes, trend=trend, day_col="bucket")
         if horizon <= 0:
             return fit
-        bounds = long.groupBy("doc_id").agg(
+        # bounds per (doc_id, source): a doc_id under two sources keeps each
+        # source's own fit window instead of a merged lo..hi
+        bounds = long.groupBy("doc_id", "source").agg(
             F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
         )
         return harmonic_eval(
-            fit.join(bounds, "doc_id"), modes=modes, horizon=horizon, step=step,
-            trend=trend,
+            fit.join(bounds, ["doc_id", "source"]), modes=modes,
+            horizon=horizon, step=step, trend=trend,
+            keys=("doc_id", "source"),
         )
 
     def noise_screen(self, tier: str, iterative: bool = True) -> DataFrame:
@@ -233,16 +236,20 @@ class Engine:
         )
 
     def phenology(self, tier: str, variant: str = "threshold") -> DataFrame:
-        """W12 season metrics: 'threshold' (amplitude LSP) or 'polar'
-        (circular-statistics POL) variant."""
+        """W12 season metrics: 'threshold' (amplitude LSP), 'polar'
+        (circular-statistics POL) or 'spline' (SPL — regression-spline
+        smoothing before threshold detection, TSA.prm:355-407)."""
         from sits_classification_spark.operators.phenology import (
             lsp_metrics,
             pol_metrics,
+            spl_metrics,
         )
 
         long = self._analysis_long(tier)
         if variant == "polar":
             return pol_metrics(long, day_col="bucket")
+        if variant in ("spline", "spl"):
+            return spl_metrics(long.withColumnRenamed("bucket", "grid_day"))
         return lsp_metrics(long.withColumnRenamed("bucket", "grid_day"))
 
     # -- retention -----------------------------------------------------------
