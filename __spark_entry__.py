@@ -770,6 +770,43 @@ def q_lsp_phenology(spark, sf):
     )
 
 
+def q_lsp_phenometrics(spark, sf):
+    """W12 full phenometric menu (TSA.prm:392-400): DEM/DSS/DRI/DPS/DFI/
+    DES/DLM dates, base level + seasonal amplitude, total + green season
+    lengths, four integrals, average + maximum rise/fall rates — per
+    (doc, year) over the 3-day tier (the events window spans ~1 month, so
+    the 10-day grid leaves too few points for an interior peak + both
+    inflections). First-occurrence tie-breaks and segment-start inflection
+    anchoring shared with the SQL oracle."""
+    from sits_classification_spark.operators.phenology import lsp_phenometrics
+
+    s = resample_expr(
+        _series(spark, sf).withColumn("source", F.lit("events")), int_day=3
+    ).select("doc_id", F.lit("events").alias("source"), "grid_day", "value")
+    out = lsp_phenometrics(s, frac=0.5)
+    days = [
+        F.col(c).cast("long").alias(c)
+        for c in ("dem_day", "sos_day", "dri_day", "pos_day", "dfi_day",
+                  "eos_day", "dlm_day", "lts", "lgs")
+    ]
+    return out.select(
+        "doc_id", F.col("year").cast("long").alias("year"), *days,
+        F.round("vbl", 6).alias("vbl"), F.round("vsa", 6).alias("vsa"),
+        # integrals as floor(x*4000 + 0.5) scaled ints, not round(): the
+        # 2-decimal event values put every trapezoid on an exact 0.00025
+        # lattice (verified at sf0.01/sf0.1), so any decimal round() sits
+        # ON a boundary where Spark (BigDecimal HALF_UP) and DuckDB
+        # (scaled-double) can flip opposite ways; at scale 4000 the scaled
+        # value is an integer, a full 0.5 away from the floor boundary
+        F.floor(F.col("ist") * 4000 + 0.5).cast("long").alias("ist"),
+        F.floor(F.col("ibl") * 4000 + 0.5).cast("long").alias("ibl"),
+        F.floor(F.col("ibt") * 4000 + 0.5).cast("long").alias("ibt"),
+        F.floor(F.col("igs") * 4000 + 0.5).cast("long").alias("igs"),
+        F.round("rar", 6).alias("rar"), F.round("raf", 6).alias("raf"),
+        F.round("rmr", 6).alias("rmr"), F.round("rmf", 6).alias("rmf"),
+    )
+
+
 def q_spl_phenology(spark, sf):
     """W12 SPL variant, fit half (TSA.prm:355-407): cubic regression-spline
     coefficients (truncated-power basis, LSP_N_SEGMENT=2, t normalized to
@@ -783,7 +820,10 @@ def q_spl_phenology(spark, sf):
         _series(spark, sf).withColumn("source", F.lit("events")), int_day=3
     ).select("doc_id", F.lit("events").alias("source"), "grid_day", "value")
     out = spline_fit(s, n_segments=2)
-    sel = [F.round(F.col("coef")[i], 4).alias(f"c{i}") for i in range(5)]
+    # round 3, not 4: the truncated-power basis yields O(1e3) coefficients,
+    # so lstsq-vs-normal-equations noise (~1e-8 relative = ~1e-5 absolute)
+    # straddles a 1e-4 rounding boundary about once per 10k values at sf0.1.
+    sel = [F.round(F.col("coef")[i], 3).alias(f"c{i}") for i in range(5)]
     return out.select(
         "doc_id", *sel,
         F.round("rmse", 5).alias("rmse"),
@@ -1420,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "end_padding": q_end_padding,
         "screen_pipeline": q_screen_pipeline,
         "lsp_phenology": q_lsp_phenology,
+        "lsp_phenometrics": q_lsp_phenometrics,
         "spl_phenology": q_spl_phenology,
         "harmonic_fit_m2": q_harmonic_fit_m2,
         "augment_zero_out": q_augment_zero_out,
@@ -1679,6 +1720,118 @@ def _lsp_oracle_sql() -> str:
         FROM ok
         JOIN marks m USING (doc_id, year)
         LEFT JOIN integ i USING (doc_id, year)
+    """
+
+
+def _pheno_oracle_sql() -> str:
+    """Extended phenometric menu over the 10-day interp tier.
+
+    Mirrors operators/phenology.py:phenometrics_kernel exactly: the
+    threshold marks (sos/pos/eos) are the lsp oracle's; dem/dlm are the
+    first-occurrence argmin left/right of the peak (peak day inclusive);
+    dri/dfi anchor to the START day of the steepest rising / steepest
+    falling grid segment inside [dem,pos) / [pos,dlm); rows where any of
+    dem<pos<dlm / sos<pos<eos fails are dropped (the kernel returns None).
+    Slopes, base level, amplitude and rates are bit-identical arithmetic
+    on the shared interp doubles; only the two trapezoid integrals carry
+    sum-order noise, absorbed by round(...,4) as in the lsp oracle."""
+    return f"""
+        WITH t0 AS ({_interp_sql(3, _INTERP_RAW)}),
+        t AS (SELECT doc_id,
+                     year(DATE '1970-01-01' + INTERVAL (grid_day) DAY) AS year,
+                     grid_day AS day, value
+              FROM t0),
+        st AS (SELECT doc_id, year, min(value) AS vmin, max(value) AS vmax,
+                      count(*) AS n
+               FROM t GROUP BY doc_id, year),
+        ok AS (SELECT doc_id, year, vmin, vmax,
+                      vmin + 0.5*(vmax - vmin) AS thresh
+               FROM st WHERE n >= 3 AND vmax > vmin),
+        marks AS (SELECT t.doc_id, t.year,
+                         min(CASE WHEN value = vmax THEN day END) AS pos_day,
+                         min(CASE WHEN value >= thresh THEN day END) AS sos_day,
+                         max(CASE WHEN value >= thresh THEN day END) AS eos_day
+                  FROM t JOIN ok USING (doc_id, year)
+                  GROUP BY t.doc_id, t.year),
+        ext AS (SELECT t.doc_id, t.year,
+                       min(CASE WHEN t.day <= m.pos_day THEN value END) AS lminv,
+                       min(CASE WHEN t.day >= m.pos_day THEN value END) AS rminv,
+                       min(CASE WHEN t.day = m.sos_day THEN value END) AS sos_v,
+                       min(CASE WHEN t.day = m.eos_day THEN value END) AS eos_v
+                FROM t JOIN marks m USING (doc_id, year)
+                GROUP BY t.doc_id, t.year),
+        extd AS (SELECT t.doc_id, t.year,
+                        min(CASE WHEN t.day <= m.pos_day AND t.value = e.lminv
+                                 THEN t.day END) AS dem_day,
+                        min(CASE WHEN t.day >= m.pos_day AND t.value = e.rminv
+                                 THEN t.day END) AS dlm_day
+                 FROM t JOIN marks m USING (doc_id, year)
+                 JOIN ext e USING (doc_id, year)
+                 GROUP BY t.doc_id, t.year),
+        keep AS (SELECT m.doc_id, m.year, m.pos_day, m.sos_day, m.eos_day,
+                        x.dem_day, x.dlm_day, e.lminv, e.rminv, e.sos_v, e.eos_v,
+                        ok.vmax
+                 FROM marks m
+                 JOIN extd x USING (doc_id, year)
+                 JOIN ext e USING (doc_id, year)
+                 JOIN ok USING (doc_id, year)
+                 WHERE x.dem_day < m.pos_day AND m.pos_day < x.dlm_day
+                   AND m.sos_day < m.pos_day AND m.pos_day < m.eos_day),
+        pairs AS (SELECT doc_id, year, day, value,
+                         lead(day) OVER w AS nd, lead(value) OVER w AS nv
+                  FROM t
+                  WINDOW w AS (PARTITION BY doc_id, year ORDER BY day)),
+        slopes AS (SELECT doc_id, year, day,
+                          (nv - value)/CAST(nd - day AS DOUBLE) AS slope
+                   FROM pairs WHERE nd IS NOT NULL),
+        dri AS (SELECT doc_id, year, day AS dri_day, slope AS rmr FROM (
+                   SELECT s.doc_id, s.year, s.day, s.slope,
+                          row_number() OVER (PARTITION BY s.doc_id, s.year
+                                             ORDER BY s.slope DESC, s.day) AS rn
+                   FROM slopes s JOIN keep k USING (doc_id, year)
+                   WHERE s.day >= k.dem_day AND s.day < k.pos_day)
+                WHERE rn = 1),
+        dfi AS (SELECT doc_id, year, day AS dfi_day, -slope AS rmf FROM (
+                   SELECT s.doc_id, s.year, s.day, s.slope,
+                          row_number() OVER (PARTITION BY s.doc_id, s.year
+                                             ORDER BY s.slope ASC, s.day) AS rn
+                   FROM slopes s JOIN keep k USING (doc_id, year)
+                   WHERE s.day >= k.pos_day AND s.day < k.dlm_day)
+                WHERE rn = 1),
+        ist AS (SELECT p.doc_id, p.year,
+                       sum((p.value + p.nv)/2.0*(p.nd - p.day)) AS ist
+                FROM pairs p JOIN keep k USING (doc_id, year)
+                WHERE p.day >= k.sos_day AND p.nd <= k.eos_day
+                GROUP BY p.doc_id, p.year),
+        igs AS (SELECT p.doc_id, p.year,
+                       sum((p.value + p.nv)/2.0*(p.nd - p.day)) AS igs
+                FROM pairs p JOIN dri USING (doc_id, year)
+                JOIN dfi USING (doc_id, year)
+                WHERE p.day >= dri.dri_day AND p.nd <= dfi.dfi_day
+                GROUP BY p.doc_id, p.year)
+        SELECT k.doc_id, CAST(k.year AS BIGINT) AS year,
+               k.dem_day, k.sos_day, dri.dri_day, k.pos_day, dfi.dfi_day,
+               k.eos_day, k.dlm_day,
+               round((k.lminv + k.rminv)/2.0, 6) AS vbl,
+               round(k.vmax - (k.lminv + k.rminv)/2.0, 6) AS vsa,
+               k.eos_day - k.sos_day AS lts,
+               dfi.dfi_day - dri.dri_day AS lgs,
+               CAST(floor(ist.ist * 4000 + 0.5) AS BIGINT) AS ist,
+               CAST(floor((k.lminv + k.rminv)/2.0 * (k.eos_day - k.sos_day)
+                          * 4000 + 0.5) AS BIGINT) AS ibl,
+               CAST(floor((ist.ist
+                     + (k.lminv + k.rminv)/2.0 * (k.eos_day - k.sos_day))
+                          * 4000 + 0.5) AS BIGINT) AS ibt,
+               CAST(floor(igs.igs * 4000 + 0.5) AS BIGINT) AS igs,
+               round((k.vmax - k.sos_v)/CAST(k.pos_day - k.sos_day AS DOUBLE), 6) AS rar,
+               round((k.vmax - k.eos_v)/CAST(k.eos_day - k.pos_day AS DOUBLE), 6) AS raf,
+               round(dri.rmr, 6) AS rmr,
+               round(dfi.rmf, 6) AS rmf
+        FROM keep k
+        JOIN dri USING (doc_id, year)
+        JOIN dfi USING (doc_id, year)
+        JOIN ist USING (doc_id, year)
+        JOIN igs USING (doc_id, year)
     """
 
 
@@ -2229,6 +2382,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rbf_smooth_user": _rbf_oracle_sql(),
         "lsp_phenology": _lsp_oracle_sql(),
+        "lsp_phenometrics": _pheno_oracle_sql(),
         "spl_phenology": _normal_eq_oracle_sql(
             [
                 "1", "t", "t*t", "t*t*t",
@@ -2242,6 +2396,7 @@ def oracle_sql() -> dict[str, str]:
                           - min(grid_day) OVER (PARTITION BY doc_id)) AS t
                 FROM t0)""",
             "spl_src",
+            coef_round=3,
         ),
         "cascade_monthly": _cascade_monthly_oracle_sql(),
         "retention_monthly": f"""

@@ -140,6 +140,111 @@ def lsp_metrics(
     )
 
 
+# --- W12 full phenometric menu ------------------------------------------------
+
+PHENO_FIELDS = (
+    "source string, year int, dem_day int, sos_day int, dri_day int, "
+    "pos_day int, dfi_day int, eos_day int, dlm_day int, "
+    "vbl double, vsa double, lts int, lgs int, "
+    "ist double, ibl double, ibt double, igs double, "
+    "rar double, raf double, rmr double, rmf double"
+)
+
+
+def phenometrics_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5):
+    """The extended FORCE phenometric set for one (doc, year) series
+    (``TSA.prm:392-400``): dates of early minimum (DEM), start of season
+    (DSS), rising inflection (DRI), peak (DPS), falling inflection (DFI),
+    end of season (DES), late minimum (DLM); base level VBL = mean of the
+    two minima values, seasonal amplitude VSA = peak - base; lengths
+    LTS = DES-DSS, LGS = DFI-DRI; integrals IST (trapezoid over the season),
+    IBL (base level x season length), IBT = IST + IBL, IGS (trapezoid over
+    the green season); rates RAR/RAF (average rise/fall to/from peak) and
+    RMR/RMF (maximum rise / maximum fall segment slope, both positive).
+
+    Conventions (engine-defined, deterministic, shared with the SQL
+    oracle): first-occurrence tie-breaks for all arg-extrema; inflection
+    dates anchor to the START day of the steepest grid segment; a season is
+    emitted only when dem < sos <= dri < pos < dfi <= eos < dlm is
+    non-degenerate enough for every rate to exist (dem < pos < dlm and
+    sos < pos < eos). Returns None otherwise."""
+    base = lsp_kernel(days, values, frac)
+    if base is None:
+        return None
+    sos_day, pos_day, eos_day, sos_v, pos_v, eos_v, _amp, lts, ist = base
+    pos_i = int(np.argmax(values))
+    dem_i = int(np.argmin(values[: pos_i + 1]))
+    dlm_i = pos_i + int(np.argmin(values[pos_i:]))
+    sos_i = int(np.flatnonzero(days == sos_day)[0])
+    eos_i = int(np.flatnonzero(days == eos_day)[0])
+    if not (dem_i < pos_i < dlm_i and sos_i < pos_i < eos_i):
+        return None
+    dd = np.diff(days).astype(np.float64)
+    slopes = np.diff(values) / dd
+    rise = slice(dem_i, pos_i)       # segments starting in [dem, pos)
+    fall = slice(pos_i, dlm_i)       # segments starting in [pos, dlm)
+    dri_j = dem_i + int(np.argmax(slopes[rise]))
+    dfi_j = pos_i + int(np.argmin(slopes[fall]))
+    vbl = (float(values[dem_i]) + float(values[dlm_i])) / 2.0
+    vsa = float(values[pos_i]) - vbl
+    dri_day, dfi_day = int(days[dri_j]), int(days[dfi_j])
+    lgs = dfi_day - dri_day
+    seg = slice(dri_j, dfi_j + 1)
+    igs = float(np.trapz(values[seg], days[seg]))
+    ibl = vbl * float(lts)
+    ibt = ist + ibl
+    rar = (pos_v - sos_v) / float(days[pos_i] - sos_day)
+    raf = (pos_v - eos_v) / float(eos_day - days[pos_i])
+    rmr = float(slopes[dri_j])
+    rmf = -float(slopes[dfi_j])
+    return (
+        int(days[dem_i]), sos_day, dri_day, int(days[pos_i]), dfi_day,
+        eos_day, int(days[dlm_i]),
+        vbl, vsa, int(lts), int(lgs),
+        ist, ibl, ibt, igs,
+        rar, raf, rmr, rmf,
+    )
+
+
+def lsp_phenometrics(
+    tier_10d_long: DataFrame, frac: float = 0.5
+) -> DataFrame:
+    """W12 full menu: one extended phenometric record per (doc, year) over
+    the long-form 10-day tier (same input contract as lsp_metrics)."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("grid_day")
+        days = pdf["grid_day"].to_numpy(dtype=np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        years = (
+            days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970
+        )
+        rows = []
+        for yr in np.unique(years):
+            m = years == yr
+            r = phenometrics_kernel(days[m], vals[m], frac)
+            if r is None:
+                continue
+            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "source", "year",
+                "dem_day", "sos_day", "dri_day", "pos_day", "dfi_day",
+                "eos_day", "dlm_day",
+                "vbl", "vsa", "lts", "lgs",
+                "ist", "ibl", "ibt", "igs",
+                "rar", "raf", "rmr", "rmf",
+            ],
+        )
+
+    idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
+    return map_doc_groups(
+        tier_10d_long, per_doc, f"doc_id {idt}, {PHENO_FIELDS}",
+        key=("doc_id", "source"), order_cols=("grid_day",),
+    )
+
+
 # --- W12 SPL (spline) variant -------------------------------------------------
 
 def spline_design(t: np.ndarray, n_segments: int) -> np.ndarray:

@@ -75,6 +75,71 @@ def test_lsp_metrics_spark(spark):
     assert (out["season_length"] > 0).all()
 
 
+def test_phenometrics_kernel_exact():
+    """Hand-computed series: every extended phenometric has a closed answer.
+
+    values [1,2,5,9,6,3,1] at days 0..60 step 10: thresh=5, sos=20, pos=30,
+    eos=40, dem=0, dlm=60; rise slopes .1/.3/.4 -> dri=20 rmr=.4; fall
+    slopes -.3/-.3/-.2 -> first-occurrence argmin dfi=30 rmf=.3."""
+    from sits_classification_spark.operators.phenology import phenometrics_kernel
+
+    days = np.array([0, 10, 20, 30, 40, 50, 60], dtype=np.int64)
+    vals = np.array([1, 2, 5, 9, 6, 3, 1], dtype=np.float64)
+    r = phenometrics_kernel(days, vals, frac=0.5)
+    (dem, sos, dri, pos, dfi, eos, dlm,
+     vbl, vsa, lts, lgs, ist, ibl, ibt, igs,
+     rar, raf, rmr, rmf) = r
+    assert (dem, sos, dri, pos, dfi, eos, dlm) == (0, 20, 20, 30, 30, 40, 60)
+    assert vbl == pytest.approx(1.0) and vsa == pytest.approx(8.0)
+    assert (lts, lgs) == (20, 10)
+    assert ist == pytest.approx(145.0) and igs == pytest.approx(70.0)
+    assert ibl == pytest.approx(20.0) and ibt == pytest.approx(165.0)
+    assert rar == pytest.approx(0.4) and raf == pytest.approx(0.3)
+    assert rmr == pytest.approx(0.4) and rmf == pytest.approx(0.3)
+
+
+def test_phenometrics_kernel_degenerate():
+    """Monotone series (peak at the edge) yields no season record."""
+    from sits_classification_spark.operators.phenology import phenometrics_kernel
+
+    days = np.array([0, 10, 20, 30], dtype=np.int64)
+    assert phenometrics_kernel(days, np.array([1.0, 2.0, 3.0, 4.0]), 0.5) is None
+    assert phenometrics_kernel(days, np.array([4.0, 3.0, 2.0, 1.0]), 0.5) is None
+
+
+def test_lsp_phenometrics_spark(spark):
+    """Spark operator agrees with the local kernel per (doc, year)."""
+    from sits_classification_spark.operators.phenology import (
+        lsp_phenometrics,
+        phenometrics_kernel,
+    )
+
+    days = np.arange(0, 365, 10, dtype=np.int64)
+    series = {}
+    rows = []
+    for d in range(4):
+        vals = 50 + (d + 1) * 100 * np.exp(-((days - 180.0) ** 2) / (2 * 30.0**2))
+        series[f"doc{d}"] = vals
+        for dy, v in zip(days, vals):
+            rows.append((f"doc{d}", "s", int(dy), float(v)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "grid_day", "value"])
+    out = lsp_phenometrics(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 4
+    out = out.set_index("doc_id")
+    for doc, vals in series.items():
+        want = phenometrics_kernel(days, vals, 0.5)
+        got = out.loc[doc]
+        assert int(got["pos_day"]) == want[3]
+        assert (int(got["dem_day"]), int(got["dri_day"])) == (want[0], want[2])
+        assert (int(got["dfi_day"]), int(got["dlm_day"])) == (want[4], want[6])
+        for i, col in enumerate(("vbl", "vsa"), start=7):
+            assert got[col] == pytest.approx(want[i], rel=1e-12)
+        for i, col in enumerate(("ist", "ibl", "ibt", "igs"), start=11):
+            assert got[col] == pytest.approx(want[i], rel=1e-12)
+        for i, col in enumerate(("rar", "raf", "rmr", "rmf"), start=15):
+            assert got[col] == pytest.approx(want[i], rel=1e-12)
+
+
 def test_engine_analysis_facade(spark, engine):
     """The round-2 facade surface: stm/trend/harmonic/noise_screen/phenology
     all run over a materialized tier and return per-series frames."""
