@@ -1240,6 +1240,50 @@ def q_embedding_norms(spark, sf):
     return e.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
 
 
+def q_kmeans_cells(spark, sf):
+    """Distributed Lloyd k-means (k=8, 3 iterations) over the embeddings
+    corpus from the deterministic md5-keyed seeds; the oracle re-runs the
+    same unrolled iterations in SQL (quantized distances + quantized
+    centroid updates keep the two engines on bit-identical centroids)."""
+    from sits_classification_spark.operators.clustering import kmeans_embeddings
+
+    e = _read(spark, sf, "embeddings")
+    return kmeans_embeddings(e, k=8, iters=3)
+
+
+_BM25_TERMS = ("join", "hash", "vector")
+
+
+def q_bm25_scores(spark, sf):
+    """Okapi BM25 of a fixed 3-term query against every document (corpus
+    triage scoring); score emitted in integer micro-units."""
+    from sits_classification_spark.operators.text import bm25_scores
+
+    d = _read(spark, sf, "documents")
+    out = bm25_scores(d, terms=_BM25_TERMS)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        *[F.col(f"tf_{i}").cast("long").alias(f"tf_{i}") for i in range(3)],
+        "bm25_e6",
+    )
+
+
+def q_stratified_split(spark, sf):
+    """Deterministic stratified train/val/test split over documents by
+    language: exact per-stratum proportions via an md5-ordered rank."""
+    from sits_classification_spark.operators.split import stratified_split
+
+    d = _read(spark, sf, "documents")
+    out = stratified_split(d, "lang", "doc_id", train=0.8, val=0.1)
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("stratum"),
+        F.floor(F.col("frac") * 1000000 + F.lit(0.5)).cast("long").alias("frac_e6"),
+        "split",
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1489,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "embedding_norms": q_embedding_norms,
+        "kmeans_cells": q_kmeans_cells,
+        "bm25_scores": q_bm25_scores,
+        "stratified_split": q_stratified_split,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -2134,6 +2181,110 @@ def _ivf_topk_oracle_sql(
     """
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Lloyd k-means re-derivation with the iterations unrolled as CTEs:
+    same md5-keyed seeds (cells labelled 0..k-1 in cid order), same
+    quantized vv - 2*dot + cc distances (near-ties become exact ties, the
+    (qdist, cell) order resolves them identically), same 1e-6-quantized
+    centroid updates (iteration t+1 starts from bit-identical centroids),
+    empty cells keep their previous centroid via the LEFT JOIN coalesce."""
+    qd = (
+        "CAST(floor((v.vv - 2*list_dot_product(v.v, c.cvec)"
+        " + list_dot_product(c.cvec, c.cvec))*1000000 + 0.5) AS BIGINT)"
+    )
+    ctes = [
+        f"""vecs AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+        vv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM vecs),
+        cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                         v AS cvec
+                  FROM (SELECT vec_id, v,
+                               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS ckey
+                        FROM vecs ORDER BY ckey, vec_id LIMIT {k}))"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""a{t} AS (SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {qd}, c.cell) AS rn
+                FROM vv v CROSS JOIN cent{t} c) WHERE rn = 1),
+        upd{t} AS (SELECT cell, pos, floor(avg(comp)*1000000 + 0.5)/1000000 AS newc
+                   FROM (SELECT a.cell, generate_subscripts(v.v, 1) AS pos,
+                                unnest(v.v) AS comp
+                         FROM a{t} a JOIN vecs v USING (vec_id))
+                   GROUP BY cell, pos),
+        cent{t + 1} AS (SELECT p.cell, list(coalesce(u.newc, p.comp) ORDER BY p.pos) AS cvec
+                        FROM (SELECT cell, generate_subscripts(cvec, 1) AS pos,
+                                     unnest(cvec) AS comp
+                              FROM cent{t}) p
+                        LEFT JOIN upd{t} u USING (cell, pos)
+                        GROUP BY p.cell)"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT vec_id, cell, qdist FROM (
+            SELECT v.vec_id, c.cell, {qd} AS qdist,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {qd}, c.cell) AS rn
+            FROM vv v CROSS JOIN cent{iters} c) WHERE rn = 1
+    """
+
+
+def _bm25_oracle_sql(
+    terms: tuple[str, ...] = _BM25_TERMS, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """BM25 with the exact literal doubles the Spark expression folds to
+    (k1+1.0 and 1.0-b are computed in Python on the Spark side, so the SQL
+    embeds their reprs), same left-to-right term-sum order, score floored
+    to integer micro-units."""
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r}"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    tf_out = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+        WITH toks AS (SELECT doc_id, len(w) AS dl, {tf_cols}
+                      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols}
+                  FROM toks)
+        SELECT doc_id, dl AS n_tokens, {tf_out},
+               CAST(floor((0.0 + {contribs}) * 1000000 + 0.5) AS BIGINT) AS bm25_e6
+        FROM toks CROSS JOIN stats
+    """
+
+
+def _split_oracle_sql(train: float = 0.8, val: float = 0.1) -> str:
+    """Stratified split re-derivation: same md5-of-(stratum:id) rank order,
+    same strict-< double boundaries (reprs of the Spark-side literals)."""
+    return f"""
+        WITH d AS (SELECT doc_id, lang,
+                          CAST('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                   FROM documents),
+        r AS (SELECT doc_id, lang,
+                     (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1)
+                       / (count(*) OVER (PARTITION BY lang)) AS frac
+              FROM d)
+        SELECT doc_id, lang AS stratum,
+               CAST(floor(frac * 1000000 + 0.5) AS BIGINT) AS frac_e6,
+               CASE WHEN frac < {train!r} THEN 'train'
+                    WHEN frac < {train + val!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh_exprs = ", ".join(
         f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
@@ -2725,6 +2876,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "kmeans_cells": _kmeans_oracle_sql(),
+        "bm25_scores": _bm25_oracle_sql(),
+        "stratified_split": _split_oracle_sql(),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

@@ -1,0 +1,106 @@
+"""Distributed Lloyd k-means over embedding columns (array<float>).
+
+Engine addition beyond the reference (training-data-pipeline layer, next
+to operators/similarity.py's IVF coarse quantizer): cluster a corpus of
+embeddings into k cells — the building block for IVF training, corpus
+bucketing, and diversity sampling.
+
+Scale posture (the Spark MLlib pattern, reimplemented DataFrame-first):
+the k centroids live on the driver (k*dim doubles — the same
+ship-the-quantizer-with-the-plan posture as ivf_topk); every Lloyd
+iteration is
+
+  1. a MAP-ONLY Arrow-batched assignment pass (one numpy matmul per
+     batch against the (k, dim) centroid matrix — no join, no shuffle),
+  2. one per-(cell, component) average whose shuffle volume is
+     O(k * dim * n_partitions) after map-side partial aggregation —
+     independent of corpus size.
+
+So T iterations cost T corpus scans and T tiny shuffles; at 100 TB you
+run them on a sample and only the final assignment on the full corpus.
+
+Cross-engine determinism (shared with the SQL oracle, the ivf_topk
+recipe): squared distances are QUANTIZED to integer micro-units before
+the argmin — BLAS sum order differs from the oracle's sequential
+list_dot_product by ~1e-13, so a near-equidistant vector could flip
+cells; quantizing both sides turns near-ties into exact ties, resolved
+identically by the (dist, cell) order. Updated centroid components are
+quantized to the same 1e-6 grid, so iteration t+1 starts from
+bit-identical centroids in both engines. Initial centroids are the k
+corpus vectors with the smallest md5-derived keys (ivf_centroids —
+deterministic, no RNG), labelled cell 0..k-1 in cid order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # 1e-6 distance/centroid grid shared with the SQL oracle
+
+
+def _assign_udf(C: np.ndarray):
+    """Arrow-batched argmin over quantized squared distances to the rows of
+    C; returns the 0-based cell index (np.argmin takes the FIRST minimum =
+    lowest cell, matching the oracle's (dist, cell) row_number order)."""
+    cc = (C * C).sum(axis=1)
+
+    def _qdist(emb: pd.Series) -> np.ndarray:
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + cc
+        return np.floor(d * QUANT + 0.5).astype(np.int64)
+
+    @F.pandas_udf("struct<cell: long, qdist: long>")
+    def udf(emb: pd.Series) -> pd.DataFrame:
+        q = _qdist(emb)
+        cell = np.argmin(q, axis=1)
+        return pd.DataFrame(
+            {"cell": cell, "qdist": q[np.arange(len(cell)), cell]}
+        )
+
+    return udf
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means: `iters` update rounds from the deterministic md5
+    seeds, then one final assignment. Returns (id, cell, qdist) with cell
+    in 0..k-1 and qdist the quantized squared distance to the final
+    centroid. Empty cells keep their previous centroid (both engines)."""
+    from sits_classification_spark.operators.similarity import ivf_centroids
+
+    init = sorted(
+        (r["cid"], list(r["cvec"]))
+        for r in ivf_centroids(df, k, vec_col, id_col).collect()
+    )
+    C = np.array([cv for _cid, cv in init], dtype=np.float64)
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    for _ in range(iters):
+        a = _assign_udf(C)
+        assigned = base.withColumn("cell", a(F.col("vd"))["cell"])
+        upd = (
+            assigned.select("cell", F.posexplode("vd").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("av"))
+            .collect()
+        )
+        C = C.copy()
+        for r in upd:
+            C[r["cell"], r["pos"]] = math.floor(r["av"] * QUANT + 0.5) / QUANT
+    a = _assign_udf(C)
+    s = a(F.col("vd"))
+    return base.select(
+        id_col, s["cell"].alias("cell"), s["qdist"].alias("qdist")
+    )

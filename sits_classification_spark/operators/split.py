@@ -1,0 +1,52 @@
+"""Deterministic stratified train/val/test splitting.
+
+Engine addition beyond the reference (training-data-pipeline layer; the
+reference's trainer consumes pre-split sample files — ``force/skel``'s
+sample workflow — and this operator produces them at corpus scale).
+
+Semantics: within each stratum (language, label, source, ...) rows are
+ordered by an md5-derived hash of (stratum, id) — a stable, data-independent
+shuffle — and the first ceil(w_train * n) go to train, the next block to
+val, the rest to test. EXACT proportions per stratum (unlike Bernoulli
+hash-splitting, which only hits the proportions in expectation), fully
+deterministic across runs and engines, and adding new rows only perturbs
+assignments within the stratum the rows land in.
+
+Scale posture: one window over (stratum) — a single shuffle partitioned by
+stratum; the rank and the stratum count ride the same exchange. Strata are
+assumed numerous-or-balanced (languages, labels); a single giant stratum
+serializes its window — for that shape, salt the stratum into ranged
+sub-strata and allocate blocks per sub-stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sits_classification_spark.operators.text import word_hash60
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Adds a `split` column ('train' | 'val' | 'test') with exact
+    per-stratum proportions; `frac` (the stratum-relative rank in [0, 1))
+    is exposed for auditing. Boundaries: frac < train -> train,
+    frac < train + val -> val, else test."""
+    h = word_hash60(
+        F.concat_ws(":", F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    frac = (F.row_number().over(w) - F.lit(1)) / cnt
+    split = (
+        F.when(frac < F.lit(train), F.lit("train"))
+        .when(frac < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("frac", frac).withColumn("split", split)

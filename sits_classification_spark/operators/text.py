@@ -131,6 +131,62 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 of a fixed query-term set against every document.
+
+    Classic retrieval scoring for corpus triage (e.g. topic-targeted
+    subset selection before training). Two corpus passes, both scale-safe:
+
+    1. one hash aggregate for the global stats — N, avgdl, and per-term
+       document frequencies (a handful of sums, map-side combined);
+    2. one scan computing tf per term as a Column expression
+       (`size(filter(words, = term))`), joined to the 1-row stats frame
+       via broadcast crossJoin — no per-row Python, no shuffle beyond
+       the single-row aggregate.
+
+    idf uses the +1 log form (always positive): ln(1 + (N - df + 0.5) /
+    (df + 0.5)). The score is emitted quantized to integer micro-units
+    (floor(x*1e6 + 0.5)) because ln/avg differ across engines by ~1ulp."""
+    w = words(text_col)
+    dl = F.size(w)
+    tfs = [
+        F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    toks = df.select("doc_id", dl.alias("dl"), *tfs)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    return scored.select(
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        *[F.col(f"tf_{i}").alias(f"tf_{i}") for i in range(len(terms))],
+        F.floor(score * 1000000 + 0.5).cast("long").alias("bm25_e6"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
 ) -> DataFrame:
