@@ -1284,6 +1284,78 @@ def q_stratified_split(spark, sf):
     )
 
 
+def q_pack_chunks(spark, sf):
+    """Sequence packing (concat-then-chunk, capacity 256) over the
+    deterministic sequences fixture — the LLM-pretraining layout that the
+    W8/W9 fixed-length windows feed into (the reference instead pads each
+    ragged sequence per batch, pytorch/train.py:300-302). All arithmetic is
+    int64 (distributed two-pass prefix sum + integer DIV), so the DuckDB
+    oracle matches bit-exactly by construction."""
+    from sits_classification_spark.operators.packing import pack_chunks
+
+    path = _ensure_cascade_fixture()
+    seq = spark.read.parquet(path).withColumn(
+        "ord", F.substring("doc_id", 4, 8).cast("long")
+    )
+    return pack_chunks(
+        seq.select("doc_id", "source", "ord", "n_tok"),
+        capacity=256,
+        n_tok_col="n_tok",
+        order_col="ord",
+    ).select("doc_id", "source", "chunk_id", "chunk_off", "doc_off", "seg_len")
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (corpus keyword extraction); scores
+    quantized to integer micro-units BEFORE ranking so the top-k set is
+    engine-stable."""
+    from sits_classification_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf, "documents"), k=3)
+
+
+def q_unigram_logprob(spark, sf):
+    """Unigram-LM negative log-likelihood per document (fluency/quality
+    scoring); per-token NLL quantized to int micro-units before the sum so
+    the aggregate is summation-order-free."""
+    from sits_classification_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_read(spark, sf, "documents"))
+
+
+def q_contamination(spark, sf):
+    """Train/test decontamination: 8-gram shingle overlap between the test
+    and train halves of the stratified split (composed on
+    `stratified_split`, the bipartite variant of the near-dup inverted
+    index)."""
+    from sits_classification_spark.operators.split import stratified_split
+    from sits_classification_spark.operators.text import (
+        cross_split_contamination,
+    )
+
+    d = stratified_split(
+        _read(spark, sf, "documents"), "lang", "doc_id", train=0.8, val=0.1
+    )
+    return cross_split_contamination(d, split_col="split", n=8)
+
+
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic per-source Bernoulli sampling by md5 hash threshold
+    (corpus mixing: keep 100%/50%/25%/10% of four sources, drop the rest);
+    map-only, no RNG, reproducible across engines and cluster sizes."""
+    from sits_classification_spark.operators.split import hash_sample
+
+    return hash_sample(
+        _read(spark, sf, "documents"),
+        rates=_SAMPLE_RATES,
+        rate_col="source",
+        id_col="doc_id",
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1536,6 +1608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "bm25_scores": q_bm25_scores,
         "stratified_split": q_stratified_split,
+        "pack_chunks": q_pack_chunks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "unigram_logprob": q_unigram_logprob,
+        "contamination": q_contamination,
+        "hash_sample": q_hash_sample,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -2285,6 +2362,117 @@ def _split_oracle_sql(train: float = 0.8, val: float = 0.1) -> str:
     """
 
 
+def _pack_oracle_sql(capacity: int = 256) -> str:
+    """Concat-then-chunk re-derivation over the same fixture parquet: one
+    global prefix-sum window (fine single-node), integer `//` division; the
+    CASTs peel DuckDB's HUGEINT window-sum back to int64."""
+    path = _ensure_cascade_fixture()
+    c = int(capacity)
+    return f"""
+        WITH seq AS (SELECT doc_id, source,
+                            CAST(substr(doc_id, 4) AS BIGINT) AS ord,
+                            CAST(n_tok AS BIGINT) AS n
+                     FROM read_parquet('{path}') WHERE n_tok > 0),
+        cum AS (SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c FROM seq),
+        x AS (SELECT doc_id, source, c, n,
+                     unnest(generate_series(CAST(c // {c} AS BIGINT),
+                                            CAST((c + n - 1) // {c} AS BIGINT)))
+                       AS chunk_id
+              FROM cum)
+        SELECT doc_id, source, chunk_id,
+               greatest(c, chunk_id * {c}) - chunk_id * {c} AS chunk_off,
+               greatest(c, chunk_id * {c}) - c AS doc_off,
+               least(c + n, chunk_id * {c} + {c})
+                 - greatest(c, chunk_id * {c}) AS seg_len
+        FROM x
+    """
+
+
+_TFIDF_ORACLE = r"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                   '\s+'), x -> x <> '') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    sc AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                  CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * tf * 1000000
+                             + 0.5) AS BIGINT) AS score_e6
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+    SELECT doc_id, term, tf, score_e6,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS rnk
+    FROM sc QUALIFY rnk <= 3
+"""
+
+_UNIGRAM_ORACLE = r"""
+    WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+                   '\s+'), x -> x <> '') AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+    cnt AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM tok),
+    q AS (SELECT doc_id,
+                 CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+                      AS BIGINT) AS qlp
+          FROM tok JOIN cnt USING (term) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(qlp) AS BIGINT) AS nll_e6,
+           CAST(floor(CAST(sum(qlp) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_nll_e6
+    FROM q GROUP BY doc_id
+"""
+
+# 8-gram contamination over the stratified split (train x test inverted
+# index; df cap 1000 counted over ALL docs incl. the ignored val block).
+_CONTAM_ORACLE = r"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(lang || ':' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    r AS (SELECT doc_id, w,
+                 (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                   - 1) / (count(*) OVER (PARTITION BY lang)) AS frac
+          FROM d),
+    sp AS (SELECT doc_id, w,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS sp
+           FROM r WHERE len(w) >= 8),
+    sh AS (SELECT doc_id, sp,
+                  unnest(list_distinct(list_transform(
+                      range(len(w) - 7),
+                      i -> CAST('0x' || substr(md5(
+                          array_to_string(w[i+1:i+8], ' ')), 1, 15)
+                          AS BIGINT)))) AS shingle
+           FROM sp),
+    capped AS (SELECT * FROM (SELECT doc_id, sp, shingle,
+                     count(*) OVER (PARTITION BY shingle) AS dfc FROM sh)
+               WHERE dfc <= 1000)
+    SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+           count(DISTINCT te.shingle) AS n_shared
+    FROM capped te JOIN capped tr USING (shingle)
+    WHERE te.sp = 'test' AND tr.sp = 'train'
+    GROUP BY 1, 2 HAVING count(DISTINCT te.shingle) >= 1
+"""
+
+
+def _hash_sample_oracle_sql(rates: dict[str, float]) -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(r * 1_000_000)}" for s, r in sorted(rates.items())
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, source,
+                          CAST('0x' || substr(md5(source || ':' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                   FROM documents)
+        SELECT doc_id, source FROM d
+        WHERE h % 1000000 < CASE source {case} ELSE 0 END
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh_exprs = ", ".join(
         f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
@@ -2879,6 +3067,11 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_oracle_sql(),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
+        "pack_chunks": _pack_oracle_sql(),
+        "tfidf_top_terms": _TFIDF_ORACLE,
+        "unigram_logprob": _UNIGRAM_ORACLE,
+        "contamination": _CONTAM_ORACLE,
+        "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

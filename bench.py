@@ -104,6 +104,11 @@ HEADLINE = [
     "ivf_topk",
     "dedup_clusters",
     "doc_quality",
+    "pack_chunks",
+    "tfidf_top_terms",
+    "unigram_logprob",
+    "contamination",
+    "hash_sample",
 ]
 
 

@@ -50,3 +50,32 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("frac", frac).withColumn("split", split)
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    rate_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling by hash threshold
+    (corpus mixing: e.g. keep 10% of crawl, 100% of curated).
+
+    A row survives iff md5_60(stratum:id) mod 1e6 < rate*1e6 — a pure
+    integer comparison, so the decision is reproducible across runs,
+    engines, and cluster sizes (no RNG, no partition dependence), and a
+    row's fate never changes when other rows are added. Map-only: no
+    shuffle, fully pushed into the scan stage. Rates are resolved via a
+    literal CASE chain (rates ship with the plan, the broadcast-free path
+    for a handful of strata); at thousands of strata switch to a
+    broadcast-joined rates table."""
+    h = word_hash60(
+        F.concat_ws(":", F.col(rate_col).cast("string"), F.col(id_col).cast("string"))
+    )
+    expr = F.lit(int(default_rate * 1_000_000))
+    for s, r in sorted(rates.items()):
+        expr = F.when(F.col(rate_col) == s, F.lit(int(r * 1_000_000))).otherwise(
+            expr
+        )
+    return df.filter(F.pmod(h, F.lit(1_000_000)) < expr)

@@ -187,6 +187,166 @@ def bm25_scores(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (corpus keyword extraction).
+
+    Plan shape: one explode -> (doc, term) hash-agg for tf (shuffle on
+    (doc, term)) -> term document frequencies derived FROM that table
+    (groupBy(term), no re-tokenization) -> join tf⋈df on term (AQE picks
+    broadcast when the vocabulary is small) -> per-doc top-k window.
+    The corpus size N rides in via a broadcast 1-row crossJoin.
+
+    Cross-engine determinism: scores are quantized to integer micro-units
+    BEFORE ranking, and ties break on the term string — so the top-k set
+    is identical across engines even when two scores differ only by ln()
+    ulp noise."""
+    from pyspark.sql import Window
+
+    w = words(text_col)
+    tf = (
+        df.select("doc_id", F.explode(w).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    score = F.log(F.col("n_docs") / F.col("df")) * F.col("tf").cast("double")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.floor(score * 1000000 + F.lit(0.5)).cast("long").alias("score_e6"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score_e6").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram-LM negative log-likelihood per document (fluency/quality
+    scoring: high NLL = tokens rare in this corpus = outlier doc).
+
+    Per-word -ln(count(w)/total_tokens) is quantized to integer
+    micro-units BEFORE the per-doc sum, so the sum is int64 and immune to
+    float summation order — Spark's partial-aggregation order is
+    nondeterministic, so a double sum would not even be stable across
+    runs, let alone across engines.
+
+    Plan shape: explode -> corpus term counts (hash agg) -> join words to
+    counts on term -> per-doc int sum. The corpus total rides in via a
+    broadcast 1-row crossJoin."""
+    toks = df.select("doc_id", F.explode(words(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.select(F.count(F.lit(1)).alias("total"))
+    qlp = F.floor(
+        -F.log(F.col("cnt") / F.col("total")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(qlp).alias("nll_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "nll_e6",
+            F.floor(F.col("nll_e6") / F.col("n_words"))
+            .cast("long")
+            .alias("avg_nll_e6"),
+        )
+    )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test contamination detection: test documents sharing word
+    n-gram shingles with train documents (the decontamination primitive —
+    run before training to evict evaluation text from the corpus).
+
+    Input carries a `split_col` ('train' | 'test'; other values ignored).
+    Output (test_doc, train_doc, n_shared) for pairs sharing >=
+    `min_shared` distinct n-gram shingles.
+
+    Plan shape mirrors ngram_jaccard_pairs' single-shuffle inverted
+    index, bipartite variant: hashed shingles explode -> window df-cap
+    riding the shingle exchange (stop-shingles dropped BEFORE the posting
+    lists buffer) -> per-shingle SEPARATE train/test posting lists
+    (collect_list skips the nulls of the other side) -> train x test pair
+    generation JVM-side inside the bucket -> pair count. No self-join, no
+    train-vs-test shuffle asymmetry, and the df cap bounds the bucket
+    fan-out exactly as in the near-dup path."""
+    from pyspark.sql import Window
+
+    wdf = df.select(
+        "doc_id", F.col(split_col).alias("sp"), words(text_col).alias("w")
+    ).filter(F.size("w") >= n)
+    inv = wdf.select(
+        "doc_id",
+        "sp",
+        F.explode(
+            F.array_distinct(
+                F.transform(ngram_shingles(F.col("w"), n), word_hash60)
+            )
+        ).alias("sh"),
+    )
+    wsh = Window.partitionBy("sh")
+    buckets = (
+        inv.withColumn("_df", F.count(F.lit(1)).over(wsh))
+        .filter(F.col("_df") <= max_shingle_df)
+        .groupBy("sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("sp") == "train", F.col("doc_id")))
+            ).alias("tr"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("sp") == "test", F.col("doc_id")))
+            ).alias("te"),
+        )
+        .filter((F.size("tr") >= 1) & (F.size("te") >= 1))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("te"),
+                    lambda t: F.transform(
+                        F.col("tr"),
+                        lambda r: F.struct(
+                            t.alias("test_doc"), r.alias("train_doc")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.test_doc", "p.train_doc")
+    return (
+        pairs.groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
 ) -> DataFrame:

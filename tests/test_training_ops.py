@@ -105,3 +105,135 @@ def test_stratified_split_deterministic_and_stable(spark):
     b = {r["doc_id"]: r["split"] for r in stratified_split(df, "lang", "doc_id").collect()}
     assert a == b
     assert set(a.values()) == {"train", "val", "test"}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk)
+# ---------------------------------------------------------------------------
+
+
+def _pack_py(docs, capacity):
+    """Oracle: lay docs end-to-end in order, cut every `capacity` tokens."""
+    out, cum = [], 0
+    for doc_id, n in sorted(docs.items()):
+        if n <= 0:
+            continue
+        for chunk in range(cum // capacity, (cum + n - 1) // capacity + 1):
+            lo = max(cum, chunk * capacity)
+            hi = min(cum + n, chunk * capacity + capacity)
+            out.append((doc_id, chunk, lo - chunk * capacity, lo - cum, hi - lo))
+        cum += n
+    return sorted(out)
+
+
+def test_pack_chunks_matches_python_oracle(spark):
+    from sits_classification_spark.operators.packing import pack_chunks
+
+    docs = {i: (i * 37) % 90 + 1 for i in range(60)}
+    docs[7] = 0  # zero-length doc emits nothing
+    df = spark.createDataFrame(
+        [Row(doc_id=k, n_tok=v) for k, v in docs.items()]
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_off"], r["doc_off"], r["seg_len"])
+        for r in pack_chunks(df, capacity=100, order_col="doc_id").collect()
+    )
+    assert got == _pack_py(docs, 100)
+
+
+def test_pack_chunks_invariants(spark):
+    from sits_classification_spark.operators.packing import pack_chunks
+
+    docs = {i: (i * 13) % 257 + 1 for i in range(200)}
+    df = spark.createDataFrame([Row(doc_id=k, n_tok=v) for k, v in docs.items()])
+    out = pack_chunks(df, capacity=128, order_col="doc_id", partitions=7)
+    per_doc = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id").agg(F.sum("seg_len").alias("s")).collect()
+    }
+    assert per_doc == docs  # every token lands exactly once
+    total = sum(docs.values())
+    per_chunk = {
+        r["chunk_id"]: r["s"]
+        for r in out.groupBy("chunk_id").agg(F.sum("seg_len").alias("s")).collect()
+    }
+    full, last = total // 128, total % 128
+    for cid, s in per_chunk.items():
+        assert s == (128 if cid < full else last)
+
+
+def test_pack_chunks_empty_input(spark):
+    from sits_classification_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame([Row(doc_id=1, n_tok=0)])
+    out = pack_chunks(df, capacity=10, order_col="doc_id")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tok", "chunk_id", "chunk_off", "doc_off", "seg_len"]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf / unigram LM / contamination / hash sampling
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from sits_classification_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common rare"),
+            Row(doc_id=2, text="common stuff here"),
+            Row(doc_id=3, text="common other words"),
+        ]
+    )
+    top = tfidf_top_terms(df, k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in top}
+    # 'common' appears in every doc -> idf 0 -> 'rare' wins doc 1
+    assert best[1] == "rare"
+
+
+def test_unigram_logprob_flags_outlier_doc(spark):
+    from sits_classification_spark.operators.text import unigram_logprob
+
+    rows = [Row(doc_id=i, text="the cat sat on the mat") for i in range(9)]
+    rows.append(Row(doc_id=99, text="zyx qwv jkl pqr xyz abc"))
+    out = {r["doc_id"]: r["avg_nll_e6"] for r in unigram_logprob(
+        spark.createDataFrame(rows)).collect()}
+    assert out[99] > max(v for k, v in out.items() if k != 99)
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from sits_classification_spark.operators.text import cross_split_contamination
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        Row(doc_id=1, split="train", text=f"{shared} unique train tail words"),
+        Row(doc_id=2, split="test", text=f"other head {shared}"),
+        Row(doc_id=3, split="train", text="completely different content " * 3),
+        Row(doc_id=4, split="val", text=shared),  # val ignored
+    ]
+    out = cross_split_contamination(spark.createDataFrame(rows), n=8).collect()
+    assert [(r["test_doc"], r["train_doc"], r["n_shared"]) for r in out] == [(2, 1, 1)]
+
+
+def test_hash_sample_deterministic_and_rate_shaped(spark):
+    from sits_classification_spark.operators.split import hash_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i % 2 == 0 else "b") for i in range(2000)]
+    )
+    kept = hash_sample(df, rates={"a": 1.0, "b": 0.25}).collect()
+    again = hash_sample(df, rates={"a": 1.0, "b": 0.25}).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+    a = sum(1 for r in kept if r["source"] == "a")
+    b = sum(1 for r in kept if r["source"] == "b")
+    assert a == 1000  # rate 1.0 keeps everything
+    assert 150 <= b <= 350  # ~25% of 1000, md5-uniform
+
+    # a row's fate is independent of the rest of the table
+    sub = spark.createDataFrame(
+        [Row(doc_id=i, source="b") for i in range(1, 100, 2)]
+    )
+    kept_sub = {r["doc_id"] for r in hash_sample(sub, rates={"b": 0.25}).collect()}
+    kept_full = {r["doc_id"] for r in kept if r["source"] == "b" and r["doc_id"] < 100}
+    assert kept_sub == kept_full
