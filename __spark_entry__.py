@@ -1356,6 +1356,26 @@ def q_hash_sample(spark, sf):
     ).select("doc_id", "source")
 
 
+def q_session_stats(spark, sf):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    timeout) with per-session rollups; all time math in integer
+    epoch-microseconds so bounds/durations are engine-exact."""
+    from sits_classification_spark.operators.sessions import session_stats
+
+    return session_stats(_read(spark, sf, "events"), timeout_s=1800)
+
+
+def q_hll_distinct(spark, sf):
+    """Per-source HyperLogLog distinct-doc estimate (p=12, md5-derived
+    registers, int64 power-of-two accumulation) — reproducible across
+    engines, unlike approx_count_distinct's private hash."""
+    from sits_classification_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(
+        _read(spark, sf, "documents"), "doc_id", ("source",), p=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1613,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "contamination": q_contamination,
         "hash_sample": q_hash_sample,
+        "session_stats": q_session_stats,
+        "hll_distinct": q_hll_distinct,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -2459,6 +2481,61 @@ _CONTAM_ORACLE = r"""
 """
 
 
+_SESSION_ORACLE = """
+    WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+               FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS pus FROM e),
+    f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000
+                         THEN 1 ELSE 0 END AS isn FROM l),
+    s AS (SELECT *, CAST(sum(isn) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+            AS session_seq FROM f)
+    SELECT user_id, session_seq, min(us) AS started_us, max(us) AS ended_us,
+           max(us) - min(us) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS value_sum
+    FROM s GROUP BY 1, 2
+"""
+
+
+def _hll_oracle_sql(p: int = 12) -> str:
+    """Register-exact HLL re-derivation: same md5 60-bit hash, same
+    bin-string-length rank, same int64 2^(50-reg) accumulation; the alpha
+    constant is the repr round-trip of the Spark-side double literal."""
+    from sits_classification_spark.operators.sketch import _alpha
+
+    m = 1 << p
+    rb = 60 - p
+    am = repr(_alpha(m) * m * m * float(1 << 50))
+    return f"""
+        WITH h AS (SELECT source, CAST('0x' || substr(md5(CAST(doc_id AS
+                       VARCHAR)), 1, 15) AS BIGINT) AS h FROM documents),
+        b AS (SELECT source, h >> {rb} AS bucket,
+                     h & ((1::BIGINT << {rb}) - 1) AS rem FROM h),
+        r AS (SELECT source, bucket,
+                     CASE WHEN rem > 0 THEN {rb + 1} - length(bin(rem))
+                          ELSE {rb + 1} END AS rank FROM b),
+        regs AS (SELECT source, bucket, max(rank) AS reg FROM r GROUP BY 1, 2),
+        agg AS (SELECT source,
+                       CAST(sum(1::BIGINT << (50 - reg)) AS BIGINT) AS s_present,
+                       CAST(count(*) AS BIGINT) AS n_buckets
+                FROM regs GROUP BY 1),
+        est AS (SELECT source, n_buckets,
+                       {am} / CAST(s_present + ({m} - n_buckets)
+                                   * (1::BIGINT << 50) AS DOUBLE) AS e_raw,
+                       {m} - n_buckets AS n_empty
+                FROM agg)
+        SELECT source, n_buckets,
+               CAST(floor(CASE WHEN e_raw <= {2.5 * m!r} AND n_empty > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / n_empty)
+                               ELSE e_raw END * 1000000 + 0.5) AS BIGINT)
+                 AS estimate_e6
+        FROM est
+    """
+
+
 def _hash_sample_oracle_sql(rates: dict[str, float]) -> str:
     case = " ".join(
         f"WHEN '{s}' THEN {int(r * 1_000_000)}" for s, r in sorted(rates.items())
@@ -3072,6 +3149,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_ORACLE,
         "contamination": _CONTAM_ORACLE,
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
+        "session_stats": _SESSION_ORACLE,
+        "hll_distinct": _hll_oracle_sql(),
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

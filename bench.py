@@ -109,6 +109,8 @@ HEADLINE = [
     "unigram_logprob",
     "contamination",
     "hash_sample",
+    "session_stats",
+    "hll_distinct",
 ]
 
 

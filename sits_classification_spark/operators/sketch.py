@@ -1,0 +1,109 @@
+"""Deterministic HyperLogLog distinct-count sketch (Flajolet et al. 2007).
+
+Engine addition beyond the reference (100 TB posture: exact
+count-distinct of doc fingerprints per source needs a full shuffle of
+every distinct key; an HLL register table is p·2^p bits per group and
+merges with a max — the standard sketch for corpus accounting). Spark's
+built-in `approx_count_distinct` is also HLL but its hash and register
+layout are implementation-private, so its estimates cannot be reproduced
+by another engine; this one is md5-derived end-to-end and therefore
+bit-reproducible anywhere md5 exists — the same design rationale as the
+md5-seeded augmentations and SRP hyperplanes.
+
+Register math (all integer, engine-exact):
+  h        = 60-bit md5 prefix of the value
+  bucket   = h >> (60 - p)                    (top p bits, 2^p registers)
+  rem      = h & (2^(60-p) - 1)               (low 60-p bits)
+  rank     = (60 - p) - floor(log2(rem)) if rem > 0 else (60 - p) + 1
+             == number of leading zeros of rem in (60-p) bits, + 1
+  register = max(rank) per (group, bucket)
+
+floor(log2(rem)) is `length(bin(rem)) - 1` — a string-length trick that
+both Spark and DuckDB evaluate identically on positive int64 (no float
+log anywhere).
+
+Estimate (the classic bias-corrected form):
+  S        = sum over present registers of 2^(-register), plus one unit
+             per EMPTY register. Computed exactly in int64 scaled by 2^50:
+             sum(2^(50 - register)) + n_empty * 2^50 — powers of two up to
+             50 bits, so the sum is exact where a double accumulation
+             would depend on summation order.
+  E_raw    = alpha_m * m^2 / (S / 2^50)
+  E        = m * ln(m / V) if E_raw <= 2.5 m and V > 0 (linear counting,
+             V = empty registers), else E_raw.
+One double division + one ln at the very end, then micro-unit
+quantization — the driver oracle reproduces it to the last digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sits_classification_spark.operators.text import word_hash60
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    value: Column | str,
+    group_cols: tuple[str, ...] = ("source",),
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HLL distinct estimate of `value`.
+
+    Returns (group_cols..., n_exact_buckets, estimate_e6) where
+    estimate_e6 is the HLL estimate in integer micro-units.
+
+    Plan shape: two hash aggregations — (group, bucket) max(rank), then
+    (group) sum — the first's map-side partial combine collapses
+    duplicate values early, so the shuffle carries at most |group|·2^p
+    rows regardless of input size. No window, no distinct, no float until
+    the final scalar arithmetic.
+    """
+    if isinstance(value, str):
+        value = F.col(value)
+    m = 1 << p
+    rem_bits = 60 - p
+    h = word_hash60(value.cast("string"))
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # rank: leading zeros in rem_bits, + 1;  floor(log2) via bin-string len
+    rank = F.when(
+        rem > 0, F.lit(rem_bits + 1) - F.length(F.bin(rem))
+    ).otherwise(F.lit(rem_bits + 1))
+    regs = (
+        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    # exact int64 accumulation of sum(2^-reg) scaled by 2^50
+    # (the python shiftleft helper takes only a literal bit count; the SQL
+    # form accepts a column)
+    scaled = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - reg AS INT))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    n_empty = F.lit(m) - F.col("n_buckets")
+    s_total = (F.col("s_present") + n_empty * F.lit(1 << 50)).cast("double")
+    e_raw = F.lit(_alpha(m) * m * m * float(1 << 50)) / s_total
+    v = n_empty.cast("double")
+    e = F.when(
+        (e_raw <= 2.5 * m) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.floor(e * 1_000_000 + F.lit(0.5)).cast("long").alias("estimate_e6"),
+    )

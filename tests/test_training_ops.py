@@ -237,3 +237,64 @@ def test_hash_sample_deterministic_and_rate_shaped(spark):
     kept_sub = {r["doc_id"] for r in hash_sample(sub, rates={"b": 0.25}).collect()}
     kept_full = {r["doc_id"] for r in kept if r["source"] == "b" and r["doc_id"] < 100}
     assert kept_sub == kept_full
+
+
+# ---------------------------------------------------------------------------
+# sessionization / HLL sketch
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_splits_on_gap(spark):
+    import datetime as dt
+
+    from sits_classification_spark.operators.sessions import session_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=i, ts=t0 + dt.timedelta(seconds=s), value=1.0)
+        for i, s in enumerate([0, 60, 120, 5000, 5060, 99999])
+    ]  # gaps >1800s after idx 2 and idx 4 -> 3 sessions
+    rows.append(Row(user_id=2, event_id=100, ts=t0, value=2.5))
+    out = session_stats(spark.createDataFrame(rows), timeout_s=1800).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["session_seq"])
+    assert [r["n_events"] for r in u1] == [3, 2, 1]
+    assert [r["session_seq"] for r in u1] == [0, 1, 2]
+    assert u1[0]["duration_us"] == 120_000_000
+    assert by_user[2][0]["n_events"] == 1 and by_user[2][0]["duration_us"] == 0
+
+
+def test_sessionize_exact_timeout_boundary(spark):
+    import datetime as dt
+
+    from sits_classification_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=0, ts=t0, value=0.0),
+        Row(user_id=1, event_id=1, ts=t0 + dt.timedelta(seconds=1800), value=0.0),
+        Row(user_id=1, event_id=2, ts=t0 + dt.timedelta(seconds=3601), value=0.0),
+    ]
+    out = sessionize(spark.createDataFrame(rows), timeout_s=1800).collect()
+    seqs = {r["event_id"]: r["session_seq"] for r in out}
+    # gap == timeout stays in-session (strict >); gap 1801 starts a new one
+    assert seqs == {0: 0, 1: 0, 2: 1}
+
+
+def test_hll_estimate_accuracy_and_determinism(spark):
+    from sits_classification_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20000).select(
+        F.when(F.col("id") < 10000, "big").otherwise("small").alias("source"),
+        F.when(F.col("id") < 10000, F.col("id"))
+        .otherwise(F.col("id") % 200)
+        .cast("string")
+        .alias("v"),
+    )
+    a = {r["source"]: r["estimate_e6"] for r in hll_distinct(df, "v", ("source",)).collect()}
+    b = {r["source"]: r["estimate_e6"] for r in hll_distinct(df, "v", ("source",)).collect()}
+    assert a == b  # no RNG anywhere
+    assert abs(a["big"] / 1e6 - 10000) / 10000 < 0.05
+    assert abs(a["small"] / 1e6 - 200) / 200 < 0.05
