@@ -154,6 +154,52 @@ def streaming_asof_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessionize(events: DataFrame, timeout_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    streaming twin of the batch ``operators.sessions.sessionize`` — events
+    arriving across micro-batches get the SAME (user, session_seq)
+    assignment the batch operator would produce on the replayed stream,
+    because per-user state carries (last event time, sessions so far)
+    across batch boundaries. Vectorized inside (numpy diff over integer
+    microseconds, no per-row Python); state is two int64s per user,
+    bounded regardless of stream length. Assumes per-user event-time
+    ordered arrival across batches (the file-replay / log-compaction
+    layout); out-of-order streams need a watermark + holdback upstream."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, ts timestamp, value double, "
+        "session_seq long"
+    )
+    state_schema = "last_us long, n_sessions long"
+    cols = ["user_id", "event_id", "ts", "value", "session_seq"]
+    timeout_us = int(timeout_s) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        last_us, n_sessions = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pdf.sort_values(["ts", "event_id"]).copy()
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prev = np.empty_like(us)
+        prev[1:] = us[:-1]
+        prev[0] = us[0] - (timeout_us + 1) if last_us is None else last_us
+        is_new = (us - prev) > timeout_us
+        pdf["session_seq"] = int(n_sessions) + np.cumsum(is_new) - 1
+        state.update((int(us[-1]), int(n_sessions) + int(is_new.sum())))
+        yield pdf[cols]
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def incremental_tier_update(
     spark: SparkSession,
     src_dir: str,

@@ -155,3 +155,56 @@ def test_streaming_asof_state_carries_across_batches(spark, sf001, tmpdir_sessio
         or (truth[k] is not None and abs(truth[k] - got[k]) > 1e-9)
     ]
     assert not mismatch, f"{len(mismatch)} mismatches, first: {mismatch[:5]}"
+
+
+def test_streaming_sessionize_matches_batch(spark, sf001, tmpdir_session):
+    """applyInPandasWithState sessionization: 3 time-ordered micro-batches
+    must produce the identical (user, event) -> session_seq assignment as
+    the batch operator on the whole table — the per-user
+    (last_ts, n_sessions) state bridges batch boundaries."""
+    import os
+
+    from sits_classification_spark.operators.sessions import sessionize
+    from sits_classification_spark.streaming.rollup import (
+        EVENTS_SCHEMA,
+        streaming_sessionize,
+    )
+
+    src = f"{sf001}/events.parquet"
+    ev = spark.read.parquet(src)
+    truth = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(ev, timeout_s=600).collect()
+    }
+
+    stream_dir = os.path.join(tmpdir_session, "sess_stream_src")
+    chunks = ev.orderBy("ts", "event_id").collect()
+    n = len(chunks)
+    for i in range(3):
+        part = chunks[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(part, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(stream_dir)
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    q = (
+        streaming_sessionize(events, timeout_s=600)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert len(got) == n
+    assert got == truth
