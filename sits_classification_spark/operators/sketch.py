@@ -70,6 +70,8 @@ def hll_distinct(
     rows regardless of input size. No window, no distinct, no float until
     the final scalar arithmetic.
     """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
     if isinstance(value, str):
         value = F.col(value)
     m = 1 << p

@@ -210,11 +210,16 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count riding the term exchange — a
+    # separate groupBy(term) + join would re-run the tokenize+agg subplan
+    # a second time (Spark does not auto-materialize shared subplans); the
+    # window sees (doc, term)-granularity rows, so the hottest term costs
+    # n_docs rows, never n_token_occurrences
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     ndocs = df.select(F.count(F.lit(1)).alias("n_docs"))
     score = F.log(F.col("n_docs") / F.col("df")) * F.col("tf").cast("double")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfq)
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
@@ -244,22 +249,35 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     nondeterministic, so a double sum would not even be stable across
     runs, let alone across engines.
 
-    Plan shape: explode -> corpus term counts (hash agg) -> join words to
-    counts on term -> per-doc int sum. The corpus total rides in via a
-    broadcast 1-row crossJoin."""
-    toks = df.select("doc_id", F.explode(words(text_col)).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.select(F.count(F.lit(1)).alias("total"))
+    Plan shape: explode -> (doc, term) tf hash-agg (map-side combine, so
+    the term shuffle never carries token-level rows) -> corpus term count
+    as a window SUM(tf) riding the term exchange (a groupBy + join back
+    would re-run the tokenize+agg subplan; the hottest term costs n_docs
+    window rows, not n_occurrences) -> per-doc weighted int sum
+    (sum(tf · qlp) == the per-token sum, exactly, since qlp is constant
+    per term). The corpus total rides in via a broadcast 1-row
+    crossJoin."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select("doc_id", F.explode(words(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnt = F.sum("tf").over(Window.partitionBy("term"))
+    total = df.select(
+        F.sum(F.size(words(text_col))).cast("long").alias("total")
+    )
     qlp = F.floor(
         -F.log(F.col("cnt") / F.col("total")) * 1000000 + F.lit(0.5)
     ).cast("long")
     return (
-        toks.join(counts, "term")
+        tf.withColumn("cnt", cnt)
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(qlp).alias("nll_e6"),
+            F.sum("tf").cast("long").alias("n_words"),
+            F.sum(qlp * F.col("tf")).alias("nll_e6"),
         )
         .select(
             "doc_id",
