@@ -1376,6 +1376,66 @@ def q_hll_distinct(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """Gopher/C4-style repetition screens (dup-word fraction, top-bigram
+    fraction, longest token run) as pure array expressions — zero
+    shuffles, computed inside the scan stage."""
+    from sits_classification_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(_read(spark, sf, "documents"))
+
+
+def q_pii_scrub(spark, sf):
+    """PII count + redaction over documents with deterministically
+    injected emails/phones (the synthetic corpus has none, so the query
+    plants `user<id>@example.com` on doc_id%5==0 and a 555-number on
+    doc_id%7==0 before scrubbing — both sides of the oracle inject
+    identically). Returns counts plus an md5 of the cleaned text."""
+    from sits_classification_spark.operators.text import pii_scrub
+
+    d = _read(spark, sf, "documents")
+    injected = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-867-5309")),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = pii_scrub(injected)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_key")
+    )
+
+
+def q_heavy_hitters(spark, sf):
+    """Corpus top-10 terms via distributed Misra-Gries (k=64 counters per
+    partition, mergeable-summaries shrink); exact — and oracle-checkable —
+    whenever per-partition vocabulary < k, which holds at test scale."""
+    from sits_classification_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf, "documents"), k=64, topn=10)
+
+
+def q_source_cap(spark, sf):
+    """Per-source document cap (mixture spec "at most 300 docs per
+    source"): md5-ranked deterministic survivors with their rank."""
+    from sits_classification_spark.operators.split import cap_per_source
+
+    return cap_per_source(_read(spark, sf, "documents"), cap=300).select(
+        "doc_id", "source", "rk"
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1635,6 +1695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "session_stats": q_session_stats,
         "hll_distinct": q_hll_distinct,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
+        "heavy_hitters": q_heavy_hitters,
+        "source_cap": q_source_cap,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -3151,6 +3215,77 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "session_stats": _SESSION_ORACLE,
         "hll_distinct": _hll_oracle_sql(),
+        "repetition": f"""
+            WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS term,
+                           generate_subscripts(w, 1) AS i FROM base),
+            runs AS (SELECT doc_id, term,
+                            i - row_number() OVER (PARTITION BY doc_id, term
+                                                   ORDER BY i) AS grp
+                     FROM tok),
+            maxrun AS (SELECT doc_id, max(c) AS max_run FROM (
+                           SELECT doc_id, count(*) AS c FROM runs
+                           GROUP BY doc_id, term, grp)
+                       GROUP BY doc_id),
+            big AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(w)),
+                                                 i -> w[i] || ' ' || w[i+1])) AS bg
+                    FROM base),
+            topbig AS (SELECT doc_id, max(c) AS top FROM (
+                           SELECT doc_id, bg, count(*) AS c FROM big
+                           GROUP BY doc_id, bg)
+                       GROUP BY doc_id)
+            SELECT b.doc_id,
+                   len(w) AS n_tokens,
+                   1.0 - len(list_distinct(w)) / len(w) AS dup_word_frac,
+                   CASE WHEN len(w) > 1
+                        THEN coalesce(t.top, 0) / (len(w) - 1)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   coalesce(m.max_run, 0) AS max_run
+            FROM base b
+            LEFT JOIN maxrun m ON b.doc_id = m.doc_id
+            LEFT JOIN topbig t ON b.doc_id = t.doc_id
+        """,
+        "pii_scrub": """
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                                THEN text || ' contact user' ||
+                                     CAST(doc_id AS VARCHAR) ||
+                                     '@example.com now'
+                            WHEN doc_id % 7 = 0
+                                THEN text || ' call 555-867-5309'
+                            ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+                   md5(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_key
+            FROM injected
+        """,
+        "heavy_hitters": f"""
+            SELECT term, count(*) AS count_lb
+            FROM (SELECT unnest({_WORDS}) AS term FROM documents)
+            GROUP BY term
+            ORDER BY count_lb DESC, term ASC
+            LIMIT 10
+        """,
+        "source_cap": """
+            SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(source || ':' ||
+                                        CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS rk
+                FROM documents)
+            WHERE rk <= 300
+        """,
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, list_distinct(list_transform({_WORDS}, x -> {_WH28})) AS base

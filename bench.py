@@ -111,6 +111,10 @@ HEADLINE = [
     "hash_sample",
     "session_stats",
     "hll_distinct",
+    "repetition",
+    "pii_scrub",
+    "heavy_hitters",
+    "source_cap",
 ]
 
 

@@ -79,3 +79,33 @@ def hash_sample(
             expr
         )
     return df.filter(F.pmod(h, F.lit(1_000_000)) < expr)
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source document cap (the source-balancing /
+    domain-cap pass of a pre-training mixture): within each source, rows
+    are ranked by an md5-derived hash of the id — a stable, uniform,
+    data-independent shuffle — and only the first ``cap`` survive. Adds
+    ``rk`` (the 1-based rank) for auditing.
+
+    Unlike rate-based `hash_sample` this yields an exact COUNT per source,
+    which is what mixture specs are written in ("at most N docs from
+    source X").
+
+    Scale posture: one window partitioned by source. Source cardinality is
+    small, so a hot source serializes its window task; for that shape, cap
+    approximately in two phases (per-(source, salt) sub-caps sized by the
+    salt count, then an exact top-cap over survivors) — the exact window is
+    correct and the sub-cap phase is a strict row-count reduction riding
+    the same exchange."""
+    h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )

@@ -412,3 +412,90 @@ def winnow_fingerprints(
         .select("doc_id", word_hash60(F.concat_ws(" ", "_w")).alias("fp"))
     )
     return full.unionByName(tiny)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition screens at word granularity:
+
+    - ``dup_word_frac``: 1 - distinct/total tokens (bulk repetition)
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over the bigram count (boilerplate phrasing); 0.0 for 1-token docs
+    - ``max_run``: longest run of consecutive identical tokens (stutter)
+
+    All three are pure array expressions — zero shuffles, the whole thing
+    runs inside the parquet scan stage and survives any scale-up that the
+    scan itself does. The bigram mode is found by sorting the bigram array
+    and taking the longest equal-run (array_sort + one aggregate pass),
+    which avoids a per-doc groupBy entirely.
+
+    Rationale (public): Rae et al. 2021 (Gopher) §A1.1 repetition filters;
+    Raffel et al. 2020 (C4) boilerplate heuristics.
+    """
+    # Materialize the token and bigram arrays as named columns first: each
+    # metric below references them several times, and CollapseProject only
+    # inlines aliases that are cheap or single-use (SPARK-36718) — this
+    # two-step select keeps the regex tokenization at exactly ONE
+    # evaluation per row (verified in the physical plan) instead of ~12.
+    base = df.select("doc_id", words(text_col).alias("_w")).select(
+        "doc_id", "_w", ngram_shingles(F.col("_w"), 2).alias("_bg")
+    )
+    w, bg = F.col("_w"), F.col("_bg")
+    n, nb = F.size(w), F.size(bg)
+    dup = F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    top = _max_equal_run(F.array_sort(bg))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup.alias("dup_word_frac"),
+        F.when(nb > 0, top / nb).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        _max_equal_run(w).cast("long").alias("max_run"),
+    )
+
+
+def _max_equal_run(arr: Column) -> Column:
+    """Longest run of consecutive equal elements, as one aggregate() pass
+    with a (prev, run, best) struct accumulator. Empty array -> 0."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): plain char classes, bounded repetition, ASCII \b only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact email/phone PII spans (the standard pre-training
+    scrub pass). Pure regexp Column expressions — map-only, no shuffle;
+    at 100 TB this rides the ingest scan like every other per-doc screen.
+    Emails are redacted before phones so a phone-shaped substring inside a
+    redacted email span is not double-counted. Output keeps the full
+    cleaned text; callers hash or store it as they wish."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

@@ -1,0 +1,104 @@
+"""Corpus-screen operators: repetition metrics, PII scrub, Misra-Gries
+heavy hitters, per-source caps (engine additions — the document-quality /
+mixture-balancing passes of a pre-training pipeline)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from sits_classification_spark.operators.sketch import heavy_hitters
+from sits_classification_spark.operators.split import cap_per_source
+from sits_classification_spark.operators.text import pii_scrub, repetition_metrics
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="a b c d e"),                  # all distinct
+        Row(doc_id=1, text="a a a a"),                    # one long run
+        Row(doc_id=2, text="x y x y x y"),                # repeated bigram
+        Row(doc_id=3, text="solo"),                       # single token
+        Row(doc_id=4, text="p q p r p q"),                # mixed
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_repetition_metrics_hand_checked(docs):
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    # doc 0: no repetition at all
+    assert out[0]["dup_word_frac"] == 0.0
+    assert out[0]["top_bigram_frac"] == pytest.approx(1 / 4)
+    assert out[0]["max_run"] == 1
+    # doc 1: 4 copies of one token -> dup 3/4, run 4, bigram "a a" x3 of 3
+    assert out[1]["dup_word_frac"] == pytest.approx(3 / 4)
+    assert out[1]["top_bigram_frac"] == pytest.approx(1.0)
+    assert out[1]["max_run"] == 4
+    # doc 2: "x y" appears 3 times among 5 bigrams, no adjacent equals
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["max_run"] == 1
+    # doc 3: single token -> no bigrams, frac defined as 0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["max_run"] == 1
+    # doc 4: "p q" twice of 5 bigrams
+    assert out[4]["top_bigram_frac"] == pytest.approx(2 / 5)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        Row(doc_id=0, text="mail me at bob@example.com or al.b+x@sub.org ok"),
+        Row(doc_id=1, text="call 555-867-5309 twice 555-867-5309"),
+        Row(doc_id=2, text="clean text with no pii at all"),
+        # phone-shaped digits glued to more digits must NOT match (\b)
+        Row(doc_id=3, text="serial 1555-867-53090 is not a phone"),
+    ]
+    out = {r["doc_id"]: r for r in pii_scrub(spark.createDataFrame(rows)).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (2, 0)
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or <EMAIL> ok"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 2)
+    assert out[1]["clean_text"] == "call <PHONE> twice <PHONE>"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["clean_text"] == rows[2].text
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
+
+
+def test_heavy_hitters_exact_when_vocab_below_k(spark):
+    words = ["t%d" % (i % 7) for i in range(200)] + ["rare"]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(words[i * 3:(i + 1) * 3])) for i in range(67)]
+    )
+    truth = Counter(w for r in df.collect() for w in r["text"].split())
+    out = heavy_hitters(df, k=64, topn=5).collect()
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["term"], r["count_lb"]) for r in out] == expect
+
+
+def test_heavy_hitters_shrink_keeps_frequent_terms(spark):
+    # vocab 40 > k=8 forces Misra-Gries shrinks; the guarantee is that any
+    # term with freq > n/(k+1) survives with count_lb <= true count
+    rows = []
+    text = ("hot " * 50 + " ".join("cold%d" % i for i in range(39))).strip()
+    rows.append(Row(doc_id=0, text=text))
+    df = spark.createDataFrame(rows).repartition(1)
+    out = {r["term"]: r["count_lb"] for r in heavy_hitters(df, k=8, topn=3).collect()}
+    assert "hot" in out
+    assert out["hot"] <= 50
+    # n = 89 tokens, error bound n/(k+1) < 10 -> lower bound at least 40
+    assert out["hot"] >= 40
+
+
+def test_cap_per_source_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s%d" % (i % 3)) for i in range(100)]
+    )
+    a = cap_per_source(df, cap=10).collect()
+    b = cap_per_source(df, cap=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = Counter(r["source"] for r in a)
+    # 100 rows over 3 sources: every source has >= 10 candidates
+    assert per == {"s0": 10, "s1": 10, "s2": 10}
+    assert all(1 <= r["rk"] <= 10 for r in a)
+    # survivors are a subset of the input and stable under a bigger cap
+    big = {r["doc_id"] for r in cap_per_source(df, cap=20).collect()}
+    assert {r["doc_id"] for r in a} <= big
