@@ -97,12 +97,13 @@ def cap_per_source(
     which is what mixture specs are written in ("at most N docs from
     source X").
 
-    Scale posture: one window partitioned by source. Source cardinality is
-    small, so a hot source serializes its window task; for that shape, cap
-    approximately in two phases (per-(source, salt) sub-caps sized by the
-    salt count, then an exact top-cap over survivors) — the exact window is
-    correct and the sub-cap phase is a strict row-count reduction riding
-    the same exchange."""
+    Scale posture: one window partitioned by source, and Spark plans the
+    `row_number() <= cap` filter as a WindowGroupLimit pushed BELOW the
+    exchange (partial per map task, final after): each task pre-prunes to
+    its local top-`cap` rows per source, so a hot source ships at most
+    cap·tasks rows through the shuffle and the final per-source sort sees
+    cap·tasks rows, not the source's full row count — the two-phase cap a
+    hand-written rewrite would build, produced by the optimizer."""
     h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
     w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
