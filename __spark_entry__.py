@@ -1940,8 +1940,9 @@ def _pheno_oracle_sql() -> str:
     threshold marks (sos/pos/eos) are the lsp oracle's; dem/dlm are the
     first-occurrence argmin left/right of the peak (peak day inclusive);
     dri/dfi anchor to the START day of the steepest rising / steepest
-    falling grid segment inside [dem,pos) / [pos,dlm); rows where any of
-    dem<pos<dlm / sos<pos<eos fails are dropped (the kernel returns None).
+    falling grid segment inside [dem,pos) / [pos,dlm); rows where the
+    date ordering dem<=sos<pos<eos<=dlm fails are dropped (the kernel
+    returns None).
     Slopes, base level, amplitude and rates are bit-identical arithmetic
     on the shared interp doubles; only the two trapezoid integrals carry
     sum-order noise, absorbed by round(...,4) as in the lsp oracle."""
@@ -1985,8 +1986,8 @@ def _pheno_oracle_sql() -> str:
                  JOIN extd x USING (doc_id, year)
                  JOIN ext e USING (doc_id, year)
                  JOIN ok USING (doc_id, year)
-                 WHERE x.dem_day < m.pos_day AND m.pos_day < x.dlm_day
-                   AND m.sos_day < m.pos_day AND m.pos_day < m.eos_day),
+                 WHERE x.dem_day <= m.sos_day AND m.sos_day < m.pos_day
+                   AND m.pos_day < m.eos_day AND m.eos_day <= x.dlm_day),
         pairs AS (SELECT doc_id, year, day, value,
                          lead(day) OVER w AS nd, lead(value) OVER w AS nv
                   FROM t
@@ -2583,7 +2584,8 @@ def _hll_oracle_sql(p: int = 12) -> str:
                           ELSE {rb + 1} END AS rank FROM b),
         regs AS (SELECT source, bucket, max(rank) AS reg FROM r GROUP BY 1, 2),
         agg AS (SELECT source,
-                       CAST(sum(1::BIGINT << (50 - reg)) AS BIGINT) AS s_present,
+                       CAST(sum(1::BIGINT << greatest(50 - reg, 0)) AS BIGINT)
+                         AS s_present,
                        CAST(count(*) AS BIGINT) AS n_buckets
                 FROM regs GROUP BY 1),
         est AS (SELECT source, n_buckets,
@@ -3237,7 +3239,9 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY doc_id)
             SELECT b.doc_id,
                    len(w) AS n_tokens,
-                   1.0 - len(list_distinct(w)) / len(w) AS dup_word_frac,
+                   CASE WHEN len(w) > 0
+                        THEN 1.0 - len(list_distinct(w)) / len(w)
+                        ELSE 0.0 END AS dup_word_frac,
                    CASE WHEN len(w) > 1
                         THEN coalesce(t.top, 0) / (len(w) - 1)
                         ELSE 0.0 END AS top_bigram_frac,
@@ -3260,13 +3264,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(no_email,
                        '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
-                   md5(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
+                   md5(regexp_replace(no_email,
                        '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS clean_key
-            FROM injected
+            FROM (SELECT doc_id, text,
+                         regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS no_email
+                  FROM injected)
         """,
         "heavy_hitters": f"""
             SELECT term, count(*) AS count_lb

@@ -106,37 +106,60 @@ def lsp_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5):
     )
 
 
+LSP_COLS = [
+    "doc_id", "source", "year", "sos_day", "pos_day", "eos_day",
+    "sos_value", "pos_value", "eos_value", "amplitude",
+    "season_length", "integral",
+]
+
+
+def _per_year_records(
+    long: DataFrame,
+    kernel,
+    fields: str,
+    columns: list[str],
+    day_col: str = "grid_day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Shared scaffold for the per-(doc, calendar-year) season kernels:
+    sort by day, split the series at year boundaries (epoch-day ->
+    numpy datetime64[Y]), run `kernel(days, values)` per year, and emit
+    one record per non-None result with the (doc_id, source, year) key
+    prefix. The three W12 variants differ ONLY in the kernel."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        days = pdf[day_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        years = (
+            days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970
+        )
+        rows = []
+        for yr in np.unique(years):
+            m = years == yr
+            r = kernel(days[m], vals[m])
+            if r is None:
+                continue
+            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
+        return pd.DataFrame(rows, columns=columns)
+
+    idt = {f.name: f.dataType.simpleString() for f in long.schema.fields}["doc_id"]
+    return map_doc_groups(
+        long, per_doc, f"doc_id {idt}, {fields}",
+        key=("doc_id", "source"), order_cols=(day_col,),
+    )
+
+
 def lsp_metrics(
     tier_10d_long: DataFrame, frac: float = 0.5, epoch_year: bool = True
 ) -> DataFrame:
     """Long-form 10-day tier (doc_id, source, grid_day, value) -> one LSP
     record per (doc, calendar year)."""
-
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("grid_day")
-        days = pdf["grid_day"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        years = (days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970)
-        rows = []
-        for yr in np.unique(years):
-            m = years == yr
-            r = lsp_kernel(days[m], vals[m], frac)
-            if r is None:
-                continue
-            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "source", "year", "sos_day", "pos_day", "eos_day",
-                "sos_value", "pos_value", "eos_value", "amplitude",
-                "season_length", "integral",
-            ],
-        )
-
-    idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
-    return map_doc_groups(
-        tier_10d_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
-        key=("doc_id", "source"), order_cols=("grid_day",),
+    return _per_year_records(
+        tier_10d_long,
+        lambda d, v: lsp_kernel(d, v, frac),
+        LSP_FIELDS,
+        LSP_COLS,
     )
 
 
@@ -165,9 +188,10 @@ def phenometrics_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5)
     Conventions (engine-defined, deterministic, shared with the SQL
     oracle): first-occurrence tie-breaks for all arg-extrema; inflection
     dates anchor to the START day of the steepest grid segment; a season is
-    emitted only when dem < sos <= dri < pos < dfi <= eos < dlm is
-    non-degenerate enough for every rate to exist (dem < pos < dlm and
-    sos < pos < eos). Returns None otherwise."""
+    emitted only when the full date ordering is consistent:
+    dem <= sos < pos < eos <= dlm (which implies dem < pos < dlm, so every
+    rate exists and the DRI/DFI search windows [dem,pos) / [pos,dlm)
+    contain the threshold crossings). Returns None otherwise."""
     base = lsp_kernel(days, values, frac)
     if base is None:
         return None
@@ -177,7 +201,7 @@ def phenometrics_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5)
     dlm_i = pos_i + int(np.argmin(values[pos_i:]))
     sos_i = int(np.flatnonzero(days == sos_day)[0])
     eos_i = int(np.flatnonzero(days == eos_day)[0])
-    if not (dem_i < pos_i < dlm_i and sos_i < pos_i < eos_i):
+    if not (dem_i <= sos_i < pos_i < eos_i <= dlm_i):
         return None
     dd = np.diff(days).astype(np.float64)
     slopes = np.diff(values) / dd
@@ -206,42 +230,26 @@ def phenometrics_kernel(days: np.ndarray, values: np.ndarray, frac: float = 0.5)
     )
 
 
+PHENO_COLS = [
+    "doc_id", "source", "year",
+    "dem_day", "sos_day", "dri_day", "pos_day", "dfi_day",
+    "eos_day", "dlm_day",
+    "vbl", "vsa", "lts", "lgs",
+    "ist", "ibl", "ibt", "igs",
+    "rar", "raf", "rmr", "rmf",
+]
+
+
 def lsp_phenometrics(
     tier_10d_long: DataFrame, frac: float = 0.5
 ) -> DataFrame:
     """W12 full menu: one extended phenometric record per (doc, year) over
     the long-form 10-day tier (same input contract as lsp_metrics)."""
-
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("grid_day")
-        days = pdf["grid_day"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        years = (
-            days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970
-        )
-        rows = []
-        for yr in np.unique(years):
-            m = years == yr
-            r = phenometrics_kernel(days[m], vals[m], frac)
-            if r is None:
-                continue
-            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "source", "year",
-                "dem_day", "sos_day", "dri_day", "pos_day", "dfi_day",
-                "eos_day", "dlm_day",
-                "vbl", "vsa", "lts", "lgs",
-                "ist", "ibl", "ibt", "igs",
-                "rar", "raf", "rmr", "rmf",
-            ],
-        )
-
-    idt = {f.name: f.dataType.simpleString() for f in tier_10d_long.schema.fields}["doc_id"]
-    return map_doc_groups(
-        tier_10d_long, per_doc, f"doc_id {idt}, {PHENO_FIELDS}",
-        key=("doc_id", "source"), order_cols=("grid_day",),
+    return _per_year_records(
+        tier_10d_long,
+        lambda d, v: phenometrics_kernel(d, v, frac),
+        PHENO_FIELDS,
+        PHENO_COLS,
     )
 
 
@@ -290,42 +298,20 @@ def spl_metrics(
     Grouped Arrow kernel (numpy lstsq per doc-year); same output schema as
     the threshold variant lsp_metrics."""
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(day_col)
-        days = pdf[day_col].to_numpy(dtype=np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
-        years = (
-            days.astype("datetime64[D]").astype("datetime64[Y]").astype(int) + 1970
-        )
-        rows = []
-        for yr in np.unique(years):
-            m = years == yr
-            d, v = days[m], vals[m]
-            if d.size < 2 or d[-1] == d[0]:
-                continue
-            t = (d - d[0]) / (d[-1] - d[0])
-            fit = spline_fit_kernel(t, v, n_segments)
-            if fit is None:
-                continue
-            coef, _ = fit
-            smoothed = spline_design(t, n_segments) @ coef
-            r = lsp_kernel(d, smoothed, amp_threshold)
-            if r is None:
-                continue
-            rows.append((pdf["doc_id"].iloc[0], pdf["source"].iloc[0], int(yr)) + r)
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "source", "year", "sos_day", "pos_day", "eos_day",
-                "sos_value", "pos_value", "eos_value", "amplitude",
-                "season_length", "integral",
-            ],
-        )
+    def spl_kernel(d: np.ndarray, v: np.ndarray):
+        if d.size < 2 or d[-1] == d[0]:
+            return None
+        t = (d - d[0]) / (d[-1] - d[0])
+        fit = spline_fit_kernel(t, v, n_segments)
+        if fit is None:
+            return None
+        coef, _ = fit
+        smoothed = spline_design(t, n_segments) @ coef
+        return lsp_kernel(d, smoothed, amp_threshold)
 
-    idt = {f.name: f.dataType.simpleString() for f in tier_long.schema.fields}["doc_id"]
-    return map_doc_groups(
-        tier_long, per_doc, f"doc_id {idt}, {LSP_FIELDS}",
-        key=("doc_id", "source"), order_cols=(day_col,),
+    return _per_year_records(
+        tier_long, spl_kernel, LSP_FIELDS, LSP_COLS,
+        day_col=day_col, value_col=value_col,
     )
 
 

@@ -90,8 +90,13 @@ def hll_distinct(
     )
     # exact int64 accumulation of sum(2^-reg) scaled by 2^50
     # (the python shiftleft helper takes only a literal bit count; the SQL
-    # form accepts a column)
-    scaled = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - reg AS INT))")
+    # form accepts a column). For p <= 10 a register can exceed 50, where
+    # Java's shift-count masking would turn 1 << (50-reg) into a huge
+    # positive term — clamp to 0 (the dropped contribution is < 2^-50 of
+    # S); the DuckDB oracle applies the identical greatest().
+    scaled = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(greatest(50 - reg, 0) AS INT))"
+    )
     agg = regs.groupBy(*group_cols).agg(
         F.sum(scaled).alias("s_present"),
         F.count(F.lit(1)).alias("n_buckets"),

@@ -441,7 +441,9 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     w, bg = F.col("_w"), F.col("_bg")
     n, nb = F.size(w), F.size(bg)
-    dup = F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    dup = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    ).otherwise(F.lit(0.0))
     top = _max_equal_run(F.array_sort(bg))
     return base.select(
         "doc_id",
@@ -490,12 +492,15 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     redacted email span is not double-counted. Output keeps the full
     cleaned text; callers hash or store it as they wish."""
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    # count phones on the EMAIL-REDACTED text, not the original: a
+    # phone-shaped substring inside an email span is swallowed by the
+    # email redaction, and n_phones must equal the number of <PHONE>
+    # tokens actually emitted
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
     return df.select(
         "doc_id",
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         clean.alias("clean_text"),
     )

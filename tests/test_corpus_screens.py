@@ -63,6 +63,17 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
 
 
+def test_pii_scrub_phone_inside_email_not_double_counted(spark):
+    # a phone-shaped substring swallowed by the email redaction must not
+    # appear in n_phones — counts must equal the <PHONE> tokens emitted
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="reach me at 212-555-0123@mail.com please")]
+    )
+    r = pii_scrub(df).collect()[0]
+    assert (r["n_emails"], r["n_phones"]) == (1, 0)
+    assert r["clean_text"] == "reach me at <EMAIL> please"
+
+
 def test_heavy_hitters_exact_when_vocab_below_k(spark):
     words = ["t%d" % (i % 7) for i in range(200)] + ["rare"]
     df = spark.createDataFrame(

@@ -107,6 +107,18 @@ def test_phenometrics_kernel_degenerate():
     assert phenometrics_kernel(days, np.array([4.0, 3.0, 2.0, 1.0]), 0.5) is None
 
 
+def test_phenometrics_kernel_rejects_dem_after_sos():
+    """A series whose pre-peak minimum lies AFTER the first threshold
+    crossing violates the documented dem <= sos ordering and must be
+    dropped: [0.6,0.9,0.0,1.0,...] has sos at day 0 but the pre-peak
+    minimum at day 20."""
+    from sits_classification_spark.operators.phenology import phenometrics_kernel
+
+    days = np.arange(0, 70, 10, dtype=np.int64)
+    vals = np.array([0.6, 0.9, 0.0, 1.0, 0.8, 0.5, 0.2])
+    assert phenometrics_kernel(days, vals, frac=0.5) is None
+
+
 def test_lsp_phenometrics_spark(spark):
     """Spark operator agrees with the local kernel per (doc, year)."""
     from sits_classification_spark.operators.phenology import (

@@ -47,7 +47,9 @@ STRIDE = 100_000_000
 def build_replica(spark, out_dir: str) -> None:
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if os.path.exists(dst):
+        # only reuse a replica whose write COMMITTED (Spark drops _SUCCESS
+        # at job commit); a dir left by an interrupted write is rebuilt
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         if not SHIFTS[t]:  # tiny dims: single copy
