@@ -1436,6 +1436,18 @@ def q_source_cap(spark, sf):
     )
 
 
+def q_length_quantiles(spark, sf):
+    """Exact per-source doc-length quantiles (percentile_disc semantics,
+    rank ceil(q*n)) — order statistics, not a sketch, so the DuckDB
+    oracle reproduces them bit-for-bit."""
+    from sits_classification_spark.operators.split import group_quantiles
+
+    return group_quantiles(
+        _read(spark, sf, "documents"), "n_chars",
+        qs=(0.25, 0.5, 0.75, 0.95), group_cols=("source",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1699,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "heavy_hitters": q_heavy_hitters,
         "source_cap": q_source_cap,
+        "length_quantiles": q_length_quantiles,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -3280,6 +3293,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY count_lb DESC, term ASC
             LIMIT 10
+        """,
+        "length_quantiles": """
+            WITH ranked AS (
+                SELECT source, n_chars AS v,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars ASC) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM documents)
+            SELECT source, CAST(max(n) AS BIGINT) AS n,
+                   min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                            THEN v END) AS q25,
+                   min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                            THEN v END) AS q50,
+                   min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                            THEN v END) AS q75,
+                   min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                            THEN v END) AS q95
+            FROM ranked GROUP BY source
         """,
         "source_cap": """
             SELECT doc_id, source, rk FROM (

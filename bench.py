@@ -115,6 +115,7 @@ HEADLINE = [
     "pii_scrub",
     "heavy_hitters",
     "source_cap",
+    "length_quantiles",
 ]
 
 

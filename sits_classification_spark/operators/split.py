@@ -110,3 +110,53 @@ def cap_per_source(
         df.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= cap)
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """EXACT per-group quantiles of an integer-ish column (doc-length /
+    token-count distributions per source — the standard corpus-QA
+    readout), with `percentile_disc`-style lower-rank semantics: quantile
+    q is the value at 1-based rank ceil(q * n) of the sorted group.
+
+    Exact-and-reproducible beats approximate here: Spark's
+    `percentile_approx` and DuckDB's `approx_quantile` use different
+    sketches, so their outputs cannot be cross-checked. This computes true
+    order statistics with ONE window over the group (rank and group count
+    ride the same exchange) and keeps only the ceil(q·n) ranks — one
+    output row per group, pivoted to q-columns.
+
+    Scale posture: one shuffle partitioned by group; each group's sort is
+    a per-partition sort (window), and the filter drops all but len(qs)
+    rows per group before the final pivot aggregate. A pathological single
+    giant group serializes its sort — at that shape switch the ordering
+    column to (value, id) bucketed ranges and pre-aggregate counts per
+    value (exact quantiles of a value HISTOGRAM), which this operator's
+    semantics permit because ties are resolved by value only."""
+    v = F.col(value_col)
+    w = Window.partitionBy(*group_cols).orderBy(v.asc())
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    ranked = df.select(
+        *group_cols,
+        v.alias("_v"),
+        F.row_number().over(w.orderBy(v.asc())).alias("_rn"),
+        cnt.alias("_n"),
+    )
+    aggs = []
+    cond = F.lit(False)
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        cond = cond | (F.col("_rn") == target)
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append(
+            F.min(F.when(F.col("_rn") == target, F.col("_v"))).alias(name)
+        )
+    return (
+        ranked.filter(cond)
+        .groupBy(*group_cols)
+        .agg(F.max("_n").cast("long").alias("n"), *aggs)
+    )

@@ -99,6 +99,32 @@ def test_heavy_hitters_shrink_keeps_frequent_terms(spark):
     assert out["hot"] >= 40
 
 
+def test_group_quantiles_match_order_statistics(spark):
+    from sits_classification_spark.operators.split import group_quantiles
+
+    vals = {"a": [5, 1, 9, 3, 7], "b": list(range(1, 21))}
+    rows = [
+        Row(doc_id=i, source=s, n_chars=v)
+        for s, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    out = {
+        r["source"]: r
+        for r in group_quantiles(
+            spark.createDataFrame(rows), "n_chars",
+            qs=(0.25, 0.5, 0.75, 0.95), group_cols=("source",),
+        ).collect()
+    }
+    # percentile_disc lower-rank semantics: value at rank ceil(q*n)
+    for s, vs in vals.items():
+        sv, n = sorted(vs), len(vs)
+        assert out[s]["n"] == n
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")):
+            import math
+
+            assert out[s][col] == sv[math.ceil(q * n) - 1], (s, col)
+
+
 def test_cap_per_source_exact_counts_and_determinism(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, source="s%d" % (i % 3)) for i in range(100)]
