@@ -1054,6 +1054,7 @@ def q_doc_token_counts(spark, sf):
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
         F.round("chars_per_token", 6).alias("chars_per_token"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -3128,7 +3129,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_counts": f"""
             SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
-                   round(length(text) / len(w), 6) AS chars_per_token
+                   round(length(text) / len(w), 6) AS chars_per_token,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                     AS n_bpe_tokens
             FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
         """,
         "doc_quality": f"""

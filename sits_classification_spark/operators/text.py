@@ -59,14 +59,26 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs Java regex and RE2
+# share (no lookahead, explicit ASCII classes): contraction suffixes,
+# space-prefixed letter/digit runs, space-prefixed punctuation runs,
+# whitespace runs. Alternation is leftmost-FIRST in both engines, so the
+# branch order is part of the contract.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + distinct-token count + char-per-token."""
+    """Whitespace token count + distinct-token count + char-per-token,
+    plus the BPE-ish pre-tokenizer count (`BPE_RE`) — the usual proxy for
+    "how many subword tokens will the trainer see" without shipping a
+    vocab file."""
     w = words(text_col)
     return df.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
         (F.length(text_col) / F.size(w)).alias("chars_per_token"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("n_bpe_tokens"),
     )
 
 

@@ -63,6 +63,31 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
 
 
+def test_bpe_token_count_matches_python_re(spark):
+    """BPE-ish pre-tokenizer count: contractions, punctuation runs,
+    digit runs — pinned against Python re (leftmost-first alternation,
+    the same semantics Java regex and RE2 apply to BPE_RE)."""
+    import re
+
+    from sits_classification_spark.operators.text import BPE_RE, token_count
+
+    texts = [
+        "I can't stop, won't stop 2x!",
+        "hello   world...",
+        "a1b2 c3",
+        "it's we've they'll I'm you'd you're",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count(df).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == len(re.findall(BPE_RE, t)), t
+    # hand-checked: I | space-can | 't | space-stop | , | space-won | 't
+    # | space-stop | space-2 | x | !
+    assert out[0] == 11
+
+
 def test_pii_scrub_phone_inside_email_not_double_counted(spark):
     # a phone-shaped substring swallowed by the email redaction must not
     # appear in n_phones — counts must equal the <PHONE> tokens emitted
