@@ -232,3 +232,68 @@ def incremental_tier_update(
     )
     q.awaitTermination()
     return tier_path
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def streaming_doc_dedup(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.exact_dedup: content-hash dedup
+    of a document stream on ingest.
+
+    Uses `dropDuplicatesWithinWatermark` (Spark 3.5+) on the md5 content
+    key: unlike plain `dropDuplicates` — whose state grows without bound
+    on an unbounded stream — the within-watermark variant evicts a key's
+    state once the watermark passes its last-seen event time, so state is
+    bounded by (dup horizon x ingest rate) regardless of corpus size.
+    That is the contract an ingest pipeline actually wants: exact dedup
+    within the re-delivery window, tier-level batch dedup (exact_dedup /
+    minhash) for anything older. Keep-first semantics per content key
+    within the horizon."""
+    keyed = docs.withColumn("content_key", F.md5("text"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )
+
+
+def run_doc_dedup_once(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "doc_dedup_stream",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drive the streaming dedup over a finite parquet doc dir (a synthetic
+    monotone ingest_ts is derived from doc_id — deterministic) and return
+    the surviving rows from the memory sink."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .load(_as_stream_dir(src_dir))
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")),
+        )
+    )
+    out = streaming_doc_dedup(docs)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -208,3 +208,22 @@ def test_streaming_sessionize_matches_batch(spark, sf001, tmpdir_session):
     }
     assert len(got) == n
     assert got == truth
+
+
+def test_streaming_doc_dedup_matches_batch_exact_dedup(spark, sf001):
+    """Streaming content-hash dedup (dropDuplicatesWithinWatermark) keeps
+    exactly one survivor per content key — the same key set the batch
+    exact_dedup produces on the same corpus."""
+    from sits_classification_spark.streaming.rollup import run_doc_dedup_once
+
+    src = os.path.join(sf001, "documents.parquet")
+    out = run_doc_dedup_once(spark, src, query_name="dd_stream").toPandas()
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.md5("text").alias("content_key"))
+        .count()
+        .toPandas()
+    )
+    assert len(out) == len(batch)
+    assert set(out["content_key"]) == set(batch["content_key"])
+    assert out["content_key"].is_unique
