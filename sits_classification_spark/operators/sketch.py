@@ -116,6 +116,23 @@ def hll_distinct(
     )
 
 
+def mg_update(
+    counters: dict[str, int], batch_counts: dict[str, int], k: int
+) -> dict[str, int]:
+    """One Misra-Gries merge step (the mergeable-summaries rule): add the
+    batch's exact counts, then if more than k counters survive, subtract
+    the (k+1)-th largest count from all and drop non-positives. Invariants
+    (property-tested): <= k counters after every step; each surviving
+    count is a lower bound on the true count; total undercount <= n/(k+1)
+    where n is the tokens consumed so far."""
+    for t, c in batch_counts.items():
+        counters[t] = counters.get(t, 0) + int(c)
+    if len(counters) > k:
+        thr = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - thr for t, c in counters.items() if c - thr > 0}
+    return counters
+
+
 def heavy_hitters(
     df: DataFrame,
     k: int = 64,
@@ -153,13 +170,9 @@ def heavy_hitters(
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for term, c in pdf["term"].value_counts().items():
-                counters[term] = counters.get(term, 0) + int(c)
-            if len(counters) > k:
-                thr = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    t: c - thr for t, c in counters.items() if c - thr > 0
-                }
+            counters = mg_update(
+                counters, pdf["term"].value_counts().to_dict(), k
+            )
         yield pd.DataFrame(
             {"term": list(counters.keys()), "cnt": list(counters.values())}
         )

@@ -63,6 +63,43 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
 
 
+def test_repetition_metrics_random_docs_match_python(spark):
+    """200 seeded random docs (skewed small vocab to force repetition):
+    every metric equals the pure-python reference computed per doc."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(200):
+        n = int(rng.integers(1, 40))
+        # geometric-ish skew: low indices dominate -> real dup/bigram mass
+        idx = np.minimum(rng.geometric(0.35, size=n) - 1, len(vocab) - 1)
+        docs.append(" ".join(vocab[j] for j in idx))
+    out = {
+        r["doc_id"]: r
+        for r in repetition_metrics(
+            spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+            )
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        w = t.split()
+        n = len(w)
+        bigs = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        runs, best = 1, 1
+        for a, b in zip(w, w[1:]):
+            runs = runs + 1 if a == b else 1
+            best = max(best, runs)
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["dup_word_frac"] == 1.0 - len(set(w)) / n
+        expect_tb = (max(Counter(bigs).values()) / len(bigs)) if bigs else 0.0
+        assert r["top_bigram_frac"] == expect_tb, (i, t)
+        assert r["max_run"] == best
+
+
 def test_bpe_token_count_matches_python_re(spark):
     """BPE-ish pre-tokenizer count: contractions, punctuation runs,
     digit runs — pinned against Python re (leftmost-first alternation,

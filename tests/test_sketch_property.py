@@ -1,0 +1,43 @@
+"""Property tests for the Misra-Gries merge step (pure python — no Spark;
+the Spark operator is just explode -> mg_update per batch -> sum)."""
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sits_classification_spark.operators.sketch import mg_update
+
+term = st.integers(0, 30).map(lambda i: f"t{i}")
+stream = st.lists(term, min_size=0, max_size=400)
+ks = st.integers(2, 12)
+batch_sizes = st.integers(1, 37)
+
+
+@settings(max_examples=300, deadline=None)
+@given(stream, ks, batch_sizes)
+def test_mg_invariants(tokens, k, bs):
+    truth = Counter(tokens)
+    counters: dict[str, int] = {}
+    for i in range(0, len(tokens), bs):
+        batch = Counter(tokens[i:i + bs])
+        counters = mg_update(counters, dict(batch), k)
+        assert len(counters) <= k
+    n = len(tokens)
+    for t, c in counters.items():
+        # every surviving count is a lower bound on the true count
+        assert 0 < c <= truth[t], (t, c, truth[t])
+    # the frequent-elements guarantee: freq > n/(k+1) MUST survive
+    for t, c in truth.items():
+        if c > n / (k + 1):
+            assert t in counters, (t, c, n, k)
+
+
+@settings(max_examples=200, deadline=None)
+@given(stream, batch_sizes)
+def test_mg_exact_when_k_exceeds_vocab(tokens, bs):
+    truth = Counter(tokens)
+    counters: dict[str, int] = {}
+    for i in range(0, len(tokens), bs):
+        counters = mg_update(counters, dict(Counter(tokens[i:i + bs])), 64)
+    assert counters == dict(truth)
