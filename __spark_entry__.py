@@ -1168,6 +1168,21 @@ def q_ngram_jaccard(spark, sf):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf):
+    """Asymmetric 3-gram containment pairs (subsumption screen: a short
+    doc quoted inside a long one scores ~1 where Jaccard stays tiny);
+    same inverted-index plan as ngram_jaccard, both directions emitted."""
+    from sits_classification_spark.operators.dedup import ngram_containment_pairs
+
+    d = _read(spark, sf, "documents")
+    out = ngram_containment_pairs(d, n=3, threshold=0.5, max_shingle_df=100)
+    return out.select(
+        "doc_a", "doc_b",
+        F.round("containment_ab", 6).alias("containment_ab"),
+        F.round("containment_ba", 6).alias("containment_ba"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -1709,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "hll_distinct": q_hll_distinct,
         "repetition": q_repetition,
+        "ngram_containment": q_ngram_containment,
         "pii_scrub": q_pii_scrub,
         "heavy_hitters": q_heavy_hitters,
         "source_cap": q_source_cap,
@@ -3354,6 +3370,30 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON doc_a = sa.doc_id
                 JOIN sizes sb ON doc_b = sb.doc_id)
             WHERE raw_j >= 0.04
+        """,
+        "ngram_containment": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform({_SHINGLES3},
+                                                       s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS shingles
+                   FROM w WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            keep AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100),
+            inv AS (SELECT doc_id, s FROM inv0 WHERE s IN (SELECT s FROM keep)),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM inv a JOIN inv b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT doc_a, doc_b, containment_ab, containment_ba FROM (
+                SELECT doc_a, doc_b,
+                       round(i / sa.sz, 6) AS containment_ab,
+                       round(i / sb.sz, 6) AS containment_ba,
+                       i / sa.sz AS raw_a, i / sb.sz AS raw_b
+                FROM inter
+                JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id)
+            WHERE raw_a >= 0.5 OR raw_b >= 0.5
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -98,6 +98,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash16",
     "ngram_jaccard",
+    "ngram_containment",
     "cosine_topk",
     "embedding_near_dups",
     "ann_recall",

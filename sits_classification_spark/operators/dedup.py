@@ -299,6 +299,30 @@ def ngram_jaccard_pairs(
     once, not twice) → groupBy(pair) count. The per-doc shingle-set sizes
     ride along via broadcast joins.
     """
+    inter, sa, sb = _ngram_pair_intersections(df, n, text_col, max_shingle_df)
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_pair_intersections(
+    df: DataFrame, n: int, text_col: str, max_shingle_df: int
+):
+    """Shared candidate-pair machinery for the n-gram similarity family:
+    distinct 60-bit shingle sets -> df-capped inverted index (window count
+    riding the posting-list exchange) -> in-bucket ordered pairs generated
+    JVM-side -> per-pair intersection counts. Returns (inter, sizes_a,
+    sizes_b) where inter has (doc_a, doc_b, inter) with doc_a < doc_b."""
     wdf = df.select("doc_id", words(text_col).alias("w")).filter(
         F.size("w") >= n
     )
@@ -337,18 +361,40 @@ def ngram_jaccard_pairs(
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    return inter, sizes.alias("sa"), sizes.alias("sb")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT (Broder 1997's other resemblance
+    measure): c(A->B) = |S_A ∩ S_B| / |S_A| — "how much of A appears in
+    B". Catches subsumption that Jaccard misses: a short doc quoted
+    wholesale inside a long one scores c(short->long) ~= 1 while Jaccard
+    ~= |short|/|long| stays tiny. The standard screen for quote/boilerplate
+    inclusion and train-on-test leakage via embedding.
+
+    Same single-shuffle inverted-index plan as ngram_jaccard_pairs (shared
+    machinery); emits both directions and keeps pairs where EITHER
+    direction clears the threshold."""
+    inter, sa, sb = _ngram_pair_intersections(df, n, text_col, max_shingle_df)
+    c_ab = F.col("inter") / F.col("sa.sz")
+    c_ba = F.col("inter") / F.col("sb.sz")
     return (
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
-            ).alias("jaccard"),
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
     )

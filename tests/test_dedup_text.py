@@ -103,6 +103,35 @@ def test_ngram_jaccard_matches_bruteforce(docs):
         assert got[k] == pytest.approx(expect[k])
 
 
+def test_ngram_containment_detects_subsumption(spark):
+    """A short doc quoted wholesale inside a long one: containment
+    short->long ~= 1 while Jaccard stays small — the asymmetric screen's
+    whole point. Values match the python set formula exactly."""
+    from pyspark.sql import Row
+
+    from sits_classification_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "intro words here first " + short + " and then a lot of trailing "
+        "body content that keeps going with many extra tokens overall"
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long),
+         Row(doc_id=3, text="completely different content entirely")]
+    )
+    rows = ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+    r = rows[0]
+    sa, sb = py_shingles(short), py_shingles(long)
+    assert r["containment_ab"] == pytest.approx(len(sa & sb) / len(sa))
+    assert r["containment_ab"] == 1.0  # fully contained
+    assert r["containment_ba"] == pytest.approx(len(sa & sb) / len(sb))
+    assert r["containment_ba"] < 0.5
+
+
 def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
     # 30 docs all sharing one hot shingle; cap of 10 removes every pair
     rows = [(f"h{i}", f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
