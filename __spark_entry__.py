@@ -3147,7 +3147,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
                    round(length(text) / len(w), 6) AS chars_per_token,
                    len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+'))
                      AS n_bpe_tokens
             FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)
         """,

@@ -124,7 +124,10 @@ def mg_update(
     the (k+1)-th largest count from all and drop non-positives. Invariants
     (property-tested): <= k counters after every step; each surviving
     count is a lower bound on the true count; total undercount <= n/(k+1)
-    where n is the tokens consumed so far."""
+    where n is the tokens consumed so far. Pure: the input summary is
+    copied, never mutated — merging one retained summary with several
+    siblings must not corrupt it."""
+    counters = dict(counters)
     for t, c in batch_counts.items():
         counters[t] = counters.get(t, 0) + int(c)
     if len(counters) > k:

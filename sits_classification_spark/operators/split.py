@@ -140,10 +140,14 @@ def group_quantiles(
     v = F.col(value_col)
     w = Window.partitionBy(*group_cols).orderBy(v.asc())
     cnt = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    ranked = df.select(
+    # NULL values are excluded BEFORE ranking: Spark's asc is NULLS FIRST
+    # while DuckDB's is NULLS LAST, so ranking nulls would silently shift
+    # every quantile and break cross-engine parity; quantiles-of-non-null
+    # is also the semantic a QA readout wants
+    ranked = df.filter(v.isNotNull()).select(
         *group_cols,
         v.alias("_v"),
-        F.row_number().over(w.orderBy(v.asc())).alias("_rn"),
+        F.row_number().over(w).alias("_rn"),
         cnt.alias("_n"),
     )
     aggs = []

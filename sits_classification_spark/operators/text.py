@@ -63,8 +63,14 @@ STOPWORDS = {
 # share (no lookahead, explicit ASCII classes): contraction suffixes,
 # space-prefixed letter/digit runs, space-prefixed punctuation runs,
 # whitespace runs. Alternation is leftmost-FIRST in both engines, so the
-# branch order is part of the contract.
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# branch order is part of the contract. Whitespace is the EXPLICIT class
+# [ \t\n\f\r], not \s: Java's \s includes \x0B while RE2's does not, so
+# \s would silently diverge on vertical tabs.
+_WS = " \\t\\n\\f\\r"
+BPE_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    f"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -286,7 +286,7 @@ def run_doc_dedup_once(
             F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")),
         )
     )
-    out = streaming_doc_dedup(docs)
+    out = streaming_doc_dedup(docs, watermark=watermark)
     q = (
         out.writeStream.outputMode("append")
         .format("memory")

@@ -113,6 +113,10 @@ def test_bpe_token_count_matches_python_re(spark):
         "hello   world...",
         "a1b2 c3",
         "it's we've they'll I'm you'd you're",
+        # vertical tab: Java \s includes \x0B, RE2's does not — BPE_RE's
+        # explicit whitespace class makes all three engines agree (one
+        # punctuation run, since \x0B is NOT whitespace under the contract)
+        "!\x0b!",
     ]
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]

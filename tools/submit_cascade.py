@@ -58,6 +58,25 @@ def main(argv: list[str] | None = None) -> int:
                          "at --input first (cluster smoke test)")
     args = ap.parse_args(argv)
 
+    # The parquet-directory tier emulation derives snapshot ids and clears
+    # stale lineage with LOCAL filesystem calls (sources/snapshots.py); on
+    # an object store those are silent no-ops, which would make --resume
+    # reuse stale tiers. Shared-POSIX mounts (NFS, Lustre, /mnt/...) are
+    # fine; s3://-style URIs require the Iceberg-backed variant where the
+    # table format itself supplies snapshot ids (see README "Iceberg
+    # seam") — refuse rather than corrupt.
+    from urllib.parse import urlparse
+
+    for p in (args.input, args.output):
+        scheme = urlparse(p).scheme
+        if scheme not in ("", "file"):
+            ap.error(
+                f"{p}: only local/shared-filesystem paths are supported by "
+                "the parquet tier emulation (snapshot ids + lineage cleanup "
+                "are POSIX calls); use the Iceberg-backed seam for object "
+                "stores — see README"
+            )
+
     spark = build_session()
     from sits_classification_spark.plans.cascade import build_cascade
 
