@@ -1464,6 +1464,48 @@ def q_length_quantiles(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    """Exact-substring duplicate-span detection (Lee et al. 2022 dedup):
+    maximal spans of >= 15 consecutive tokens occurring more than once in
+    the corpus, located by token index — the window-plan replacement for a
+    suffix array (dup L-gram starts merged by gaps-and-islands)."""
+    from sits_classification_spark.operators.dedup import dup_spans
+
+    return dup_spans(_read(spark, sf, "documents"), min_len=15)
+
+
+def q_cusum_breaks(spark, sf):
+    """Two-sided mean-shift CUSUM break detection per series (Page 1954),
+    S_t = max(0, S_{t-1} + z_t - k) computed via the reflected-random-walk
+    identity (prefix sum minus running min) — two window functions per
+    side, no iteration."""
+    from sits_classification_spark.operators.stm import cusum_breaks
+
+    return cusum_breaks(_series(spark, sf), k=0.25, h=3.0)
+
+
+def q_mixture_plan(spark, sf):
+    """Temperature-based mixture sampling plan (alpha=0.7 source
+    rebalancing a la XLM/T5): per-source weight n^alpha / sum(n^alpha),
+    doc targets for a 40% corpus budget, and the equivalent keep rates."""
+    from sits_classification_spark.operators.split import mixture_plan
+
+    return mixture_plan(
+        _read(spark, sf, "documents"), budget_frac=0.4, temperature=0.7
+    )
+
+
+def q_mixture_sample(spark, sf):
+    """Apply the temperature-mixture plan with EXACT per-source counts:
+    md5-ranked within source, first target_n survive — deterministic
+    doc-for-doc across runs and engines."""
+    from sits_classification_spark.operators.split import mixture_sample
+
+    return mixture_sample(
+        _read(spark, sf, "documents"), budget_frac=0.4, temperature=0.7
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1729,6 +1771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "source_cap": q_source_cap,
         "length_quantiles": q_length_quantiles,
+        "dup_spans": q_dup_spans,
+        "cusum_breaks": q_cusum_breaks,
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -1752,6 +1798,23 @@ _BASE28 = (
 )
 _M31 = 2_147_483_647
 _MH_PARAMS = [(3, 38), (5, 131), (7, 286), (9, 503)]  # _minhash_params(4)
+
+# temperature-mixture plan (alpha=0.7, 40% doc budget) — weight rounded at 6
+# BEFORE the integer target mapping so pow()'s last-ulp drift can't move a
+# target count; shared by the mixture_plan and mixture_sample oracles
+_MIXTURE_PLAN_SQL = """
+    SELECT source, n_docs, weight,
+           least(CAST(floor(weight * (CAST(0.4 AS DOUBLE) * CAST(total AS DOUBLE)) + 0.5) AS BIGINT),
+                 n_docs) AS target_n,
+           round(CAST(least(CAST(floor(weight * (CAST(0.4 AS DOUBLE) * CAST(total AS DOUBLE)) + 0.5) AS BIGINT),
+                            n_docs) AS DOUBLE) / n_docs, 6) AS rate
+    FROM (SELECT source, n_docs,
+                 round(pow(CAST(n_docs AS DOUBLE), 0.7)
+                       / sum(pow(CAST(n_docs AS DOUBLE), 0.7)) OVER (), 6) AS weight,
+                 sum(n_docs) OVER () AS total
+          FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source))
+"""
 
 _STOP_EN = "('the','and','of','to','a','in','is','that','it','for')"
 _STOP_DE = "('der','die','das','und','ist','von','zu','den','mit','nicht')"
@@ -3342,6 +3405,74 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id ASC) AS rk
                 FROM documents)
             WHERE rk <= 300
+        """,
+        "dup_spans": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            sh AS (SELECT doc_id, i - 1 AS pos,
+                          CAST('0x' || substr(md5(array_to_string(w[i:i+14], ' ')), 1, 15) AS BIGINT) AS h
+                   FROM w, unnest(generate_series(1, len(w) - 14)) AS t(i)),
+            d AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c
+                    FROM sh) WHERE c >= 2),
+            runs AS (SELECT doc_id, pos,
+                            pos - row_number() OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) AS grp
+                     FROM d)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 14 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 15 AS BIGINT) AS span_len
+            FROM runs GROUP BY doc_id, grp
+        """,
+        "cusum_breaks": f"""
+            WITH series AS ({_SERIES_SQL}),
+            z AS (SELECT doc_id, day,
+                         CASE WHEN vr <= 0 THEN 0.0
+                              ELSE (v - mean) / sqrt(vr) END AS z
+                  FROM (SELECT doc_id, day, CAST(value AS DOUBLE) AS v,
+                               avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id) AS mean,
+                               avg(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id)
+                                 - avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id)
+                                   * avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id) AS vr
+                        FROM series)),
+            p AS (SELECT doc_id, day,
+                         sum(z - 0.25) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+                         sum(-z - 0.25) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+                  FROM z),
+            s AS (SELECT doc_id, day,
+                         pp - least(min(pp) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS sp,
+                         pn - least(min(pn) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS sn
+                  FROM p),
+            a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                         round(max(sp), 6) AS s_pos_max,
+                         round(max(sn), 6) AS s_neg_max,
+                         min(CASE WHEN sp > 3.0 THEN day END) AS bp,
+                         min(CASE WHEN sn > 3.0 THEN day END) AS bn
+                  FROM s GROUP BY doc_id)
+            SELECT doc_id, n, s_pos_max, s_neg_max,
+                   CASE WHEN bp IS NULL THEN bn
+                        WHEN bn IS NULL THEN bp
+                        ELSE least(bp, bn) END AS break_day,
+                   CASE WHEN bp IS NULL AND bn IS NULL THEN 0
+                        WHEN bp IS NOT NULL AND (bn IS NULL OR bp <= bn) THEN 1
+                        ELSE -1 END AS break_side
+            FROM a
+        """,
+        "mixture_plan": _MIXTURE_PLAN_SQL,
+        "mixture_sample": f"""
+            WITH plan AS ({_MIXTURE_PLAN_SQL}),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY md5(source || ':' ||
+                                          CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC) AS rk
+                  FROM documents)
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+            FROM r JOIN plan USING (source) WHERE rk <= target_n
         """,
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash

@@ -117,6 +117,9 @@ HEADLINE = [
     "heavy_hitters",
     "source_cap",
     "length_quantiles",
+    "dup_spans",
+    "cusum_breaks",
+    "mixture_sample",
 ]
 
 

@@ -364,6 +364,64 @@ def _ngram_pair_intersections(
     return inter, sizes.alias("sa"), sizes.alias("sb")
 
 
+def dup_spans(
+    df: DataFrame, min_len: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplicate-SPAN detection (the suffix-array dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as a window plan): report every maximal span of
+    >= min_len consecutive word tokens that occurs more than once in the
+    corpus (across documents OR repeated within one), with token-index
+    coordinates so a removal pass can cut it.
+
+    Identity that replaces the suffix array: a maximal duplicated span of
+    length >= L is exactly a maximal RUN of consecutive token positions
+    whose length-L grams are each duplicated somewhere in the corpus (a
+    span of m >= L dup tokens contributes m-L+1 consecutive dup L-gram
+    starts, and any maximal run [p0, p1] of dup starts expands to the span
+    [p0, p1+L-1]). A suffix array is sequential and memory-bound at corpus
+    scale; this is three window/agg steps over TWO shuffles: hash every
+    L-gram (one posexplode, the O(L·n) zip shingler), corpus-wide
+    occurrence count per hash via a window riding the gram exchange, keep
+    positions with count >= 2, then merge consecutive positions per doc
+    with the gaps-and-islands trick (pos - row_number() is constant within
+    a run). No pair generation ever happens — a gram shared by a million
+    docs costs a count, not a million-squared join — so there is no hot-key
+    blowup to cap.
+
+    Output: (doc_id, span_start, span_end, span_len), 0-based inclusive
+    token indices, span_len = span_end - span_start + 1 >= min_len.
+    """
+    grams = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngram_shingles(words(text_col), min_len), word_hash60)
+        ).alias("pos", "h"),
+    )
+    dup = (
+        grams.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "pos")
+    )
+    run = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        dup.withColumn("_grp", run)
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     n: int = 3,

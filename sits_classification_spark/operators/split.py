@@ -112,6 +112,79 @@ def cap_per_source(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    temperature: float = 0.7,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture sampling PLAN (the multilingual/domain
+    rebalance of Conneau & Lample 2019 / Raffel et al. 2020 §3.4.3): the
+    sampling weight of source i is q_i ∝ p_i^α with p_i = n_i/N and
+    α = temperature — α < 1 upsamples the tail, α = 1 keeps natural
+    proportions, α = 0 is uniform. The plan maps the weights to a document
+    budget of budget_frac·N total docs: target_i = q_i·budget (capped at
+    n_i — no upsampling-with-replacement here) and the equivalent keep
+    rate.
+
+    One row per source: (source, n_docs, weight, target_n, rate). Weight is
+    rounded at 6 BEFORE the integer target mapping so the plan is
+    bit-reproducible across engines (pow() may differ in the last ulp);
+    target_n = floor(weight·budget + 0.5); rate = target_n/n_docs.
+
+    Scale posture: one groupBy(source) hash-aggregate, then window sums
+    over the per-source table — thousands of rows at most, a single tiny
+    partition by design."""
+    c = df.groupBy(source_col).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    wall = Window.partitionBy()
+    s = F.pow(F.col("n_docs").cast("double"), F.lit(float(temperature)))
+    weight = F.round(s / F.sum(s).over(wall), 6)
+    budget = F.lit(float(budget_frac)) * F.sum("n_docs").over(wall)
+    target = F.floor(weight * budget + F.lit(0.5)).cast("long")
+    target_n = F.least(target, F.col("n_docs"))
+    return c.select(
+        source_col,
+        "n_docs",
+        weight.alias("weight"),
+        target_n.alias("target_n"),
+        F.round(target_n.cast("double") / F.col("n_docs"), 6).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    temperature: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a temperature-mixture plan with EXACT per-source counts:
+    within each source, rows are ranked by the md5 hash of (source, id) —
+    the same stable data-independent shuffle as `cap_per_source` — and the
+    first target_n survive. Exact-count beats Bernoulli thresholding here
+    because mixture specs are contracts ("this source is 12.3% of the
+    mix"), and the deterministic rank means re-running on the same corpus
+    reproduces the same sample doc-for-doc.
+
+    Plan shape: the per-source plan (tiny) broadcast-joins onto the corpus,
+    then ONE window partitioned by source. Unlike cap_per_source's literal
+    cap, the DYNAMIC per-source target defeats the WindowGroupLimit
+    pushdown (verified via explain), so every source's rows cross the
+    exchange once; at extreme scale pre-prune with
+    `cap_per_source(df, max_target)` first — its literal cap DOES push
+    below the exchange, and ranking by the same hash makes the composition
+    exact."""
+    plan = mixture_plan(df, budget_frac, temperature, source_col)
+    h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(plan.select(source_col, "target_n")), source_col)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= F.col("target_n"))
+        .select(id_col, source_col, "rk")
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     value_col: str,

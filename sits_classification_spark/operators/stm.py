@@ -157,6 +157,97 @@ def trend_significance(
     )
 
 
+def cusum_breaks(
+    df: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    day_col: str = "day",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Two-sided mean-shift CUSUM break detection (Page 1954) per series —
+    the change/break-detection step of an NRT monitoring setup (the decision
+    layer downstream of the TSA.prm:335-343 trend test; the reference
+    screens per-pixel residual drift in numpy, this screens every series in
+    one pass).
+
+    Per series: z_t = (x_t - mean)/std (population moments, same explicit
+    formula as `standardize`), S+_t = max(0, S+_{t-1} + z_t - k),
+    S-_t = max(0, S-_{t-1} - z_t - k); a break fires at the first t where
+    either side exceeds h.
+
+    The recurrence looks inherently sequential, but max(0, prev + u_t) has
+    the closed form S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix
+    sum of u (the reflected-random-walk identity), so each side is just a
+    running SUM plus a running MIN over the day-ordered window — no UDF,
+    no collect, no iteration, one exchange partitioned by series that every
+    window and the final aggregate all ride.
+
+    Returns one row per series: n (obs count), s_pos_max / s_neg_max
+    (rounded at 6 — the group mean/std are unordered float sums, so the
+    last bits are engine-dependent), break_day (first crossing day, NULL if
+    none) and break_side (+1/-1, positive side wins a same-day tie; 0 when
+    no break). A zero-variance series has z = 0 everywhere and never
+    breaks."""
+    # windows cannot nest inside one projection (min-of-running-sum), so the
+    # detector is three chained projections; they share the (keys) partition
+    # clustering, so Catalyst plans ONE exchange feeding three Window nodes
+    wg = Window.partitionBy(*keys)
+    run = wg.orderBy("_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(wg)
+    var = F.avg(v * v).over(wg) - mean * mean
+    z = F.when(var <= 0, F.lit(0.0)).otherwise((v - mean) / F.sqrt(var))
+    zdf = df.select(
+        *keys, F.col(day_col).cast("long").alias("_day"), z.alias("_z")
+    )
+    pdf = zdf.select(
+        *keys,
+        "_day",
+        F.sum(F.col("_z") - F.lit(k)).over(run).alias("_pp"),
+        F.sum(-F.col("_z") - F.lit(k)).over(run).alias("_pn"),
+    )
+    scored = pdf.select(
+        *keys,
+        "_day",
+        (F.col("_pp") - F.least(F.min("_pp").over(run), F.lit(0.0))).alias("_sp"),
+        (F.col("_pn") - F.least(F.min("_pn").over(run), F.lit(0.0))).alias("_sn"),
+    )
+    bp = F.min(F.when(F.col("_sp") > h, F.col("_day")))
+    bn = F.min(F.when(F.col("_sn") > h, F.col("_day")))
+    agg = scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("_sp"), 6).alias("s_pos_max"),
+        F.round(F.max("_sn"), 6).alias("s_neg_max"),
+        bp.alias("_bp"),
+        bn.alias("_bn"),
+    )
+    break_day = (
+        F.when(F.col("_bp").isNull(), F.col("_bn"))
+        .when(F.col("_bn").isNull(), F.col("_bp"))
+        .otherwise(F.least("_bp", "_bn"))
+    )
+    break_side = (
+        F.when(F.col("_bp").isNull() & F.col("_bn").isNull(), F.lit(0))
+        .when(
+            F.col("_bp").isNotNull()
+            & (F.col("_bn").isNull() | (F.col("_bp") <= F.col("_bn"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "s_pos_max",
+        "s_neg_max",
+        break_day.alias("break_day"),
+        break_side.alias("break_side"),
+    )
+
+
 def moving_average(
     df: DataFrame,
     radius_days: int,

@@ -1,0 +1,185 @@
+"""Duplicate-span detection, CUSUM break detection, temperature mixture
+sampling (engine additions for the training-data pipeline / NRT monitoring
+layer)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from sits_classification_spark.operators.dedup import dup_spans
+from sits_classification_spark.operators.split import mixture_plan, mixture_sample
+from sits_classification_spark.operators.stm import cusum_breaks
+
+
+# ---------------------------------------------------------------------------
+# dup_spans
+# ---------------------------------------------------------------------------
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        # docs 1 and 2 share the 12-token SHARED block at offsets 2 and 0
+        Row(doc_id=1, text="pre1 pre2 " + SHARED + " post1"),
+        Row(doc_id=2, text=SHARED + " tail1 tail2"),
+        # doc 3 repeats a 10-token block internally (self-duplication)
+        Row(doc_id=3, text=" ".join(f"w{i}" for i in range(10)) + " gap "
+            + " ".join(f"w{i}" for i in range(10))),
+        # doc 4 has no duplicated 10-gram anywhere
+        Row(doc_id=4, text=" ".join(f"uniq{i}" for i in range(30))),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dup_spans_cross_doc_maximal(spark, span_docs):
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in dup_spans(span_docs, min_len=10).collect()
+    }
+    # the shared block is 12 tokens: one MAXIMAL span per doc, not three
+    # overlapping 10-grams
+    assert (1, 2, 13, 12) in out
+    assert (2, 0, 11, 12) in out
+    # doc 3's internal repeat: both copies flagged (tokens 0-9 and 11-20)
+    assert (3, 0, 9, 10) in out
+    assert (3, 11, 20, 10) in out
+    assert not any(d == 4 for d, *_ in out)
+    assert len(out) == 4
+
+
+def test_dup_spans_min_len_longer_than_match(spark, span_docs):
+    # the shared block is 12 tokens; at min_len=13 no 13-gram repeats
+    assert dup_spans(span_docs, min_len=13).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# cusum_breaks
+# ---------------------------------------------------------------------------
+
+def _cusum_py(values, k, h):
+    """Direct sequential recurrence — validates the prefix-sum identity."""
+    n = len(values)
+    mean = sum(values) / n
+    var = sum(v * v for v in values) / n - mean * mean
+    zs = [0.0 if var <= 0 else (v - mean) / math.sqrt(var) for v in values]
+    sp = sn = 0.0
+    sp_max = sn_max = 0.0
+    bp = bn = None
+    for i, z in enumerate(zs):
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        sp_max, sn_max = max(sp_max, sp), max(sn_max, sn)
+        if bp is None and sp > h:
+            bp = i
+        if bn is None and sn > h:
+            bn = i
+    return sp_max, sn_max, bp, bn
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    # level shift upward at t=30; against the GLOBAL mean the early half sits
+    # low (negative side fires first), the late half high (positive side
+    # fires later) — both must match the sequential recurrence exactly
+    vals = [1.0 + 0.1 * (i % 5) for i in range(30)] + [
+        3.0 + 0.1 * (i % 5) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, day=i, value=v) for i, v in enumerate(vals)]
+    )
+    r = cusum_breaks(df, k=0.5, h=4.0).collect()[0]
+    sp_max, sn_max, bp, bn = _cusum_py(vals, 0.5, 4.0)
+    assert r.n == 60
+    assert abs(r.s_pos_max - sp_max) < 1e-6
+    assert abs(r.s_neg_max - sn_max) < 1e-6
+    assert bp is not None and bn is not None  # both sides fire on this input
+    exp_day = min(bp, bn)
+    exp_side = 1 if bp <= bn else -1
+    assert r.break_day == exp_day and r.break_side == exp_side
+
+
+def test_cusum_downward_shift_fires_negative_side(spark):
+    # wiggle then drop; h sits between the two side maxima (s_pos_max ~ 8.9,
+    # s_neg_max ~ 13.9) so ONLY the negative side ever crosses
+    vals = [5.0] * 20 + [4.0, 6.0] * 5 + [1.0] * 20
+    df = spark.createDataFrame(
+        [Row(doc_id=7, day=100 + i, value=v) for i, v in enumerate(vals)]
+    )
+    r = cusum_breaks(df, k=0.5, h=10.0).collect()[0]
+    sp_max, sn_max, bp, bn = _cusum_py(vals, 0.5, 10.0)
+    assert abs(r.s_neg_max - sn_max) < 1e-6
+    assert sp_max < 10.0 and bp is None and bn is not None
+    assert r.break_side == -1
+    assert r.break_day == 100 + bn
+
+
+def test_cusum_stable_series_no_break(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, day=i, value=float(i % 3)) for i in range(40)]
+    )
+    r = cusum_breaks(df, k=0.5, h=5.0).collect()[0]
+    assert r.break_day is None and r.break_side == 0
+
+
+def test_cusum_zero_variance_series(spark):
+    df = spark.createDataFrame([Row(doc_id=1, day=i, value=2.5) for i in range(10)])
+    r = cusum_breaks(df, k=0.5, h=5.0).collect()[0]
+    # z = 0 everywhere: both sides stay at 0 (u = -k < 0), no break
+    assert r.s_pos_max == 0.0 and r.s_neg_max == 0.0 and r.break_side == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan / mixture_sample
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    rows = []
+    did = 0
+    for src, n in (("head", 160), ("mid", 40), ("tail", 10)):
+        for _ in range(n):
+            rows.append(Row(doc_id=did, source=src, text=f"doc {did}"))
+            did += 1
+    return spark.createDataFrame(rows)
+
+
+def test_mixture_plan_temperature_flattens(spark, skewed_docs):
+    plan = {r.source: r for r in mixture_plan(
+        skewed_docs, budget_frac=0.5, temperature=0.7).collect()}
+    s = sum(n ** 0.7 for n in (160, 40, 10))
+    for src, n in (("head", 160), ("mid", 40), ("tail", 10)):
+        w = round(n ** 0.7 / s, 6)
+        assert abs(plan[src].weight - w) < 1e-9
+        assert plan[src].target_n == min(int(w * 0.5 * 210 + 0.5), n)
+    # alpha < 1 lifts the tail above its natural share and caps the head
+    assert plan["tail"].weight > 10 / 210
+    assert plan["head"].weight < 160 / 210
+    # alpha = 1 reproduces natural proportions exactly
+    nat = {r.source: r.weight for r in mixture_plan(
+        skewed_docs, budget_frac=0.5, temperature=1.0).collect()}
+    for src, n in (("head", 160), ("mid", 40), ("tail", 10)):
+        assert abs(nat[src] - round(n / 210, 6)) < 1e-9
+
+
+def test_mixture_sample_exact_counts_and_deterministic(spark, skewed_docs):
+    plan = {r.source: r.target_n for r in mixture_plan(
+        skewed_docs, budget_frac=0.5, temperature=0.7).collect()}
+    samp = mixture_sample(skewed_docs, budget_frac=0.5, temperature=0.7)
+    got = {r.source: r.cnt for r in
+           samp.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    assert got == {k: v for k, v in plan.items() if v > 0}
+    a = sorted(map(tuple, samp.collect()))
+    b = sorted(map(tuple, mixture_sample(
+        skewed_docs, budget_frac=0.5, temperature=0.7).collect()))
+    assert a == b
+
+
+def test_mixture_budget_cap_at_source_size(spark, skewed_docs):
+    # a huge budget caps every target at the source size (no upsampling)
+    plan = {r.source: r for r in mixture_plan(
+        skewed_docs, budget_frac=5.0, temperature=0.7).collect()}
+    for src, n in (("head", 160), ("mid", 40), ("tail", 10)):
+        assert plan[src].target_n == n
+        assert plan[src].rate == 1.0
