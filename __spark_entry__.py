@@ -1506,6 +1506,31 @@ def q_mixture_sample(spark, sf):
     )
 
 
+def q_mixture_tokens(spark, sf):
+    """Token-budget temperature mixture (mix specs are written in tokens):
+    per-source char-mass weights at alpha=0.7, greedy hash-ranked prefix
+    within each source up to the per-source token target."""
+    from sits_classification_spark.operators.split import mixture_sample_tokens
+
+    return mixture_sample_tokens(
+        _read(spark, sf, "documents"), budget_frac=0.4, temperature=0.7,
+        weight_col="n_chars",
+    )
+
+
+def q_dup_span_removal(spark, sf):
+    """Cut duplicated >=15-token spans from every doc, keeping the canonical
+    (min doc_id, min pos) occurrence of each duplicated gram — the cleaning
+    pass over dup_spans; returns per-doc removal counts and an md5 of the
+    cleaned text."""
+    from sits_classification_spark.operators.dedup import dup_span_removal
+
+    out = dup_span_removal(_read(spark, sf, "documents"), min_len=15)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("clean_text").alias("clean_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (no ANSI-SQL equivalent -> rows-only check)
 # ---------------------------------------------------------------------------
@@ -1775,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_breaks": q_cusum_breaks,
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        "mixture_tokens": q_mixture_tokens,
+        "dup_span_removal": q_dup_span_removal,
         "fixed_windows": q_fixed_windows,
         "cascade_monthly": q_cascade_monthly,
         "retention_monthly": q_retention_monthly,
@@ -3473,6 +3500,59 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
             FROM r JOIN plan USING (source) WHERE rk <= target_n
+        """,
+        "mixture_tokens": """
+            WITH plan AS (
+                SELECT source,
+                       CAST(floor(weight * (CAST(0.4 AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) AS target_toks
+                FROM (SELECT source, toks,
+                             round(pow(CAST(toks AS DOUBLE), 0.7)
+                                   / sum(pow(CAST(toks AS DOUBLE), 0.7)) OVER (), 6) AS weight,
+                             sum(toks) OVER () AS total
+                      FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+                            FROM documents GROUP BY source))),
+            r AS (SELECT doc_id, source,
+                         sum(n_chars) OVER (
+                             PARTITION BY source
+                             ORDER BY md5(source || ':' ||
+                                          CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+                  FROM documents)
+            SELECT doc_id, source, CAST(cum_toks AS BIGINT) AS cum_toks
+            FROM r JOIN plan USING (source) WHERE cum_toks <= target_toks
+        """,
+        "dup_span_removal": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            sh AS (SELECT doc_id, i - 1 AS pos,
+                          CAST('0x' || substr(md5(array_to_string(w[i:i+14], ' ')), 1, 15) AS BIGINT) AS h
+                   FROM w, unnest(generate_series(1, len(w) - 14)) AS t(i)),
+            g1 AS (SELECT doc_id, pos, h,
+                          count(*) OVER (PARTITION BY h) AS c,
+                          min(doc_id) OVER (PARTITION BY h) AS cdoc
+                   FROM sh),
+            g2 AS (SELECT doc_id, pos, c, cdoc,
+                          min(CASE WHEN doc_id = cdoc THEN pos END)
+                              OVER (PARTITION BY h) AS cpos
+                   FROM g1),
+            rem AS (SELECT doc_id, pos FROM g2
+                    WHERE c >= 2 AND NOT (doc_id = cdoc AND pos = cpos)),
+            cov AS (SELECT DISTINCT doc_id, tpos
+                    FROM rem, unnest(generate_series(pos, pos + 14)) AS u(tpos)),
+            tok AS (SELECT doc_id, j - 1 AS tpos, w[j] AS tokn
+                    FROM w, unnest(generate_series(1, len(w))) AS s(j)),
+            kept AS (SELECT t.doc_id, t.tpos, t.tokn
+                     FROM tok t LEFT JOIN cov c
+                       ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+                     WHERE c.doc_id IS NULL),
+            k AS (SELECT doc_id, count(*) AS cnt,
+                         array_to_string(list(tokn ORDER BY tpos), ' ') AS txt
+                  FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(w.w) AS BIGINT) AS n_tokens,
+                   CAST(len(w.w) - coalesce(k.cnt, 0) AS BIGINT) AS n_removed,
+                   md5(coalesce(k.txt, '')) AS clean_key
+            FROM w LEFT JOIN k USING (doc_id)
         """,
         "simhash16": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash

@@ -118,8 +118,10 @@ HEADLINE = [
     "source_cap",
     "length_quantiles",
     "dup_spans",
+    "dup_span_removal",
     "cusum_breaks",
     "mixture_sample",
+    "mixture_tokens",
 ]
 
 

@@ -392,12 +392,7 @@ def dup_spans(
     Output: (doc_id, span_start, span_end, span_len), 0-based inclusive
     token indices, span_len = span_end - span_start + 1 >= min_len.
     """
-    grams = df.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(ngram_shingles(words(text_col), min_len), word_hash60)
-        ).alias("pos", "h"),
-    )
+    grams = _gram_starts(df, min_len, text_col)
     dup = (
         grams.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("_c") >= 2)
@@ -419,6 +414,101 @@ def dup_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
+    )
+
+
+def _gram_starts(df: DataFrame, min_len: int, text_col: str) -> DataFrame:
+    """(doc_id, pos, h): 60-bit hash of every length-min_len word gram.
+
+    Words are staged behind a separate select: ngram_shingles references its
+    input 2·L times (one slice + one size per shift), and CollapseProject
+    inlines a DIRECT expression into every reference — 30 regex
+    tokenizations per row at L=15 (measured 6×  slower) — but does NOT
+    inline a non-cheap ALIAS referenced more than once (SPARK-36718), so
+    the two-step select pins the split at one evaluation per row."""
+    wdf = df.select("doc_id", words(text_col).alias("_w"))
+    return wdf.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(ngram_shingles(F.col("_w"), min_len), word_hash60)
+        ).alias("pos", "h"),
+    )
+
+
+def dup_span_removal(
+    df: DataFrame, min_len: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Remove duplicated spans from the corpus, keeping one canonical copy —
+    the cleaning pass paired with `dup_spans` (Lee et al. 2022 remove all
+    but one occurrence of each duplicated substring).
+
+    Canonical rule (deterministic, engine-independent): for each duplicated
+    L-gram, the occurrence with the smallest (doc_id, then pos) is
+    canonical; every other occurrence is removable, and a TOKEN is removed
+    iff any removable gram covers it (the aggressive union rule — no
+    duplicated L-window ever survives in two places; where a canonical and
+    a removable gram overlap, the overlap tokens go, which may trim a few
+    tokens beyond the strictly-necessary cut at region boundaries).
+
+    Plan: the same two-exchange skeleton as dup_spans (gram-hash window for
+    counts + canonical occurrence, doc window for the island merge), then
+    the per-doc removable intervals join back onto the corpus and the token
+    filter runs as pure array lambdas inside the post-join projection — no
+    token-level explode, no third shuffle for the rebuild.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input doc
+    (n_removed = 0 rows pass through with their tokens rejoined by single
+    spaces — the tokenizer's canonical whitespace)."""
+    grams = _gram_starts(df, min_len, text_col)
+    wh = Window.partitionBy("h")
+    g1 = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.count(F.lit(1)).over(wh).alias("_c"),
+        F.min("doc_id").over(wh).alias("_cdoc"),
+    )
+    # canonical pos needs the min over a window result -> staged projection
+    g2 = g1.withColumn(
+        "_cpos",
+        F.min(F.when(F.col("doc_id") == F.col("_cdoc"), F.col("pos"))).over(wh),
+    )
+    removable = g2.filter(
+        (F.col("_c") >= 2)
+        & ~((F.col("doc_id") == F.col("_cdoc")) & (F.col("pos") == F.col("_cpos")))
+    ).select("doc_id", "pos")
+    run = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    spans = (
+        removable.withColumn("_grp", run)
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"))
+    )
+    base = df.select("doc_id", words(text_col).alias("_w"))
+    joined = base.join(spans, "doc_id", "left")
+    idx = F.transform(
+        F.col("_w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        idx,
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("_ivs"), lambda iv: (iv["s"] <= s["i"]) & (s["i"] <= iv["e"])
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
     )
 
 

@@ -185,6 +185,49 @@ def mixture_sample(
     )
 
 
+def mixture_sample_tokens(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    temperature: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Token-budget temperature mixture: pre-training mixes are specified in
+    TOKENS, not documents, so the weights q_i ∝ (tok_i)^α are computed over
+    per-source token mass and each source keeps its hash-ranked docs while
+    the RUNNING token total stays within target_i = q_i·budget_frac·total
+    (greedy prefix — the last doc that would overshoot the budget is
+    dropped, so the kept mass is always <= target).
+
+    weight_col is any additive integer mass (token count, char count); the
+    running sum stays in int64 so the keep decision is exact and
+    engine-independent. Same plan shape as mixture_sample: tiny plan
+    broadcast-joined, one window per source ordered by the md5 hash."""
+    c = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("toks")
+    )
+    wall = Window.partitionBy()
+    s = F.pow(F.col("toks").cast("double"), F.lit(float(temperature)))
+    weight = F.round(s / F.sum(s).over(wall), 6)
+    budget = F.lit(float(budget_frac)) * F.sum("toks").over(wall)
+    plan = c.select(
+        source_col, F.floor(weight * budget).cast("long").alias("target_toks")
+    )
+    h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(plan), source_col)
+        .withColumn("cum_toks", F.sum(F.col(weight_col).cast("long")).over(w))
+        .filter(F.col("cum_toks") <= F.col("target_toks"))
+        .select(id_col, source_col, "cum_toks")
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     value_col: str,

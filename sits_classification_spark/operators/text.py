@@ -405,11 +405,15 @@ def winnow_fingerprints(
     dups remain matchable."""
     from pyspark.sql import Window
 
-    wd = words(text_col)
-    sh = df.select(
+    # words staged behind a select: ngram_shingles references its input 2k
+    # times and CollapseProject inlines a direct expression into every
+    # reference (k regex splits per row) but keeps a multiply-referenced
+    # non-cheap ALIAS at one evaluation (SPARK-36718)
+    wdf = df.select("doc_id", words(text_col).alias("_wd"))
+    sh = wdf.select(
         "doc_id",
         F.posexplode(
-            F.transform(ngram_shingles(wd, k), word_hash60)
+            F.transform(ngram_shingles(F.col("_wd"), k), word_hash60)
         ).alias("pos", "h"),
     )
     win = (
@@ -425,7 +429,7 @@ def winnow_fingerprints(
         .distinct()
     )
     tiny = (
-        df.select("doc_id", wd.alias("_w"))
+        df.select("doc_id", words(text_col).alias("_w"))
         .filter((F.size("_w") > 0) & (F.size("_w") < k))
         .select("doc_id", word_hash60(F.concat_ws(" ", "_w")).alias("fp"))
     )

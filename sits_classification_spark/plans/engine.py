@@ -204,6 +204,19 @@ class Engine:
             keys=("doc_id", "source"),
         )
 
+    def breaks(self, tier: str, k: float = 0.5, h: float = 5.0) -> DataFrame:
+        """Mean-shift CUSUM break screen per series over a tier (Page 1954)
+        — the change-alert readout downstream of trend/harmonic in an NRT
+        monitoring setup. Calendar-id tiers go through the same
+        representative-day conversion as trend/harmonic (_analysis_long),
+        so monthly/seasonal buckets order correctly on the day axis."""
+        from sits_classification_spark.operators.stm import cusum_breaks
+
+        return cusum_breaks(
+            self._analysis_long(tier), k=k, h=h, day_col="bucket",
+            keys=("doc_id", "source"),
+        )
+
     def noise_screen(self, tier: str, iterative: bool = True) -> DataFrame:
         """F2 noise screen over a tier series: the grouped-kernel fixpoint
         (drop worst outlier per pass) by default; iterative=False runs the

@@ -6,6 +6,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from sits_classification_spark.operators.dedup import dup_spans
 from sits_classification_spark.operators.split import mixture_plan, mixture_sample
@@ -183,3 +184,93 @@ def test_mixture_budget_cap_at_source_size(spark, skewed_docs):
     for src, n in (("head", 160), ("mid", 40), ("tail", 10)):
         assert plan[src].target_n == n
         assert plan[src].rate == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dup_span_removal
+# ---------------------------------------------------------------------------
+
+def test_dup_span_removal_keeps_canonical(spark, span_docs):
+    from sits_classification_spark.operators.dedup import dup_span_removal
+
+    out = {r.doc_id: r for r in dup_span_removal(span_docs, min_len=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is canonical for the shared block (min doc_id): untouched
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == "pre1 pre2 " + SHARED + " post1"
+    # doc 2 loses the 12-token block, keeps its tail
+    assert out[2].n_removed == 12
+    assert out[2].clean_text == "tail1 tail2"
+    # doc 3 keeps the FIRST internal copy, loses the second
+    assert out[3].n_removed == 10
+    assert out[3].clean_text == " ".join(f"w{i}" for i in range(10)) + " gap"
+    # doc 4 untouched, rejoined by single spaces
+    assert out[4].n_removed == 0 and out[4].n_tokens == 30
+
+
+def test_dup_span_removal_idempotent(spark, span_docs):
+    from sits_classification_spark.operators.dedup import dup_span_removal, dup_spans
+
+    cleaned = dup_span_removal(span_docs, min_len=10).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # after removal, no duplicated 10-gram span remains anywhere
+    assert dup_spans(cleaned, min_len=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample_tokens
+# ---------------------------------------------------------------------------
+
+def test_mixture_tokens_budget_respected(spark, skewed_docs):
+    from sits_classification_spark.operators.split import mixture_sample_tokens
+
+    docs = skewed_docs.withColumn(
+        "n_chars", (F.col("doc_id") % 50 + 10).cast("long")
+    )
+    samp = mixture_sample_tokens(
+        docs, budget_frac=0.5, temperature=0.7, weight_col="n_chars"
+    )
+    toks = {r.source: r.n for r in docs.groupBy("source")
+            .agg(F.sum("n_chars").alias("n")).collect()}
+    total = sum(toks.values())
+    s = sum(t ** 0.7 for t in toks.values())
+    kept = {r.source: r.m for r in samp.join(docs, ["doc_id", "source"])
+            .groupBy("source").agg(F.sum("n_chars").alias("m")).collect()}
+    for src, t in toks.items():
+        target = int(round(t ** 0.7 / s, 6) * (0.5 * total))
+        assert kept.get(src, 0) <= target  # greedy prefix never overshoots
+        # and it fills the budget to within one doc's mass (max 59 chars)
+        assert kept.get(src, 0) > target - 60
+    a = sorted(map(tuple, samp.collect()))
+    b = sorted(map(tuple, mixture_sample_tokens(
+        docs, budget_frac=0.5, temperature=0.7, weight_col="n_chars").collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Engine.breaks facade
+# ---------------------------------------------------------------------------
+
+def test_engine_breaks_over_tiers(spark, tmpdir_session):
+    import os
+    from sits_classification_spark.config import EngineConfig
+    from sits_classification_spark.datagen import write_sequences
+    from sits_classification_spark.plans.engine import Engine
+
+    inp = os.path.join(tmpdir_session, "brk_seq")
+    wh = os.path.join(tmpdir_session, "brk_wh")
+    write_sequences(spark, inp, 40)
+    eng = Engine(spark, wh, EngineConfig())
+    eng.build_tiers(inp)
+    out = eng.breaks("tier_10d", k=0.25, h=3.0)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert set(out.columns) == {
+        "doc_id", "source", "n", "s_pos_max", "s_neg_max",
+        "break_day", "break_side",
+    }
+    # calendar tiers go through the representative-day conversion and the
+    # result keys stay (doc_id, source)
+    m = eng.breaks("tier_monthly", k=0.25, h=3.0)
+    assert m.count() == 40
