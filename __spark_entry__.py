@@ -492,6 +492,39 @@ def q_harmonic_nrt(spark, sf):
     )
 
 
+def q_nrt_break(spark, sf):
+    """NRT break detection — the reference's near-real-time monitoring loop
+    closed end-to-end (TSA.prm:246-261 fit window + the break decision):
+    1-mode harmonic fitted on the history window only, residuals over the
+    monitoring window standardized by the FIT-window residual RMS, then the
+    two-sided CUSUM decision (k=0.5, h=5) via the engine's cusum_scores.
+    Residuals are rounded at 4 and sigma at 6 on BOTH engines, so every
+    prefix sum — and therefore the break day/side — is bit-deterministic
+    cross-engine."""
+    from sits_classification_spark.operators.stm import cusum_scores
+
+    r = q_harmonic_nrt(spark, sf)
+    sig = r.filter(~F.col("is_forecast")).groupBy("doc_id").agg(
+        F.round(F.sqrt(F.avg(F.col("resid") * F.col("resid"))), 6).alias("sigma")
+    )
+    mon = (
+        r.filter(F.col("is_forecast"))
+        .join(F.broadcast(sig), "doc_id")
+        .select(
+            "doc_id",
+            "day",
+            F.when(F.col("sigma") <= 0, F.lit(0.0))
+            .otherwise(F.col("resid") / F.col("sigma"))
+            .alias("_z"),
+        )
+    )
+    out = cusum_scores(mon, k=0.5, h=5.0, day_col="day", z_col="_z")
+    return out.join(F.broadcast(sig), "doc_id").select(
+        "doc_id", "sigma", "n", "s_pos_max", "s_neg_max",
+        "break_day", "break_side",
+    )
+
+
 def q_qai_screen(spark, sf):
     """F1 QAI bitmask screening (TSA.prm:135-141): synthetic quality flags
     derived from event_id; drop rows whose bits intersect
@@ -1735,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_user": q_harmonic_user,
         "harmonic_forecast": q_harmonic_forecast,
         "harmonic_nrt": q_harmonic_nrt,
+        "nrt_break": q_nrt_break,
         "qai_screen": q_qai_screen,
         "doy_window": q_doy_window,
         "cat_change": q_cat_change,
@@ -2757,6 +2791,30 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN list_position({arr}, list_max({arr})) = {i} THEN '{lg}'"
         for i, lg in enumerate(langs, start=1)
     )
+    # shared by the harmonic_nrt entry and the nrt_break composition
+    harm_nrt_sql = f"""
+            WITH series AS ({_SERIES_SQL}),
+            fitobs AS (SELECT doc_id, value,
+                              cos(2*pi()*(day-19700)/30.0) AS c,
+                              sin(2*pi()*(day-19700)/30.0) AS s
+                       FROM series WHERE day <= {_NRT_CUTOFF}),
+            sums AS (SELECT doc_id, count(*) AS n,
+                            sum(c) AS sc, sum(s) AS ss,
+                            sum(c*c) AS scc, sum(s*s) AS sss, sum(c*s) AS scs,
+                            sum(value) AS sy, sum(c*value) AS scy, sum(s*value) AS ssy
+                     FROM fitobs GROUP BY doc_id),
+            coefs AS (SELECT doc_id,
+                             {_HARM_A0} / {_HARM_DET} AS a0,
+                             {_HARM_A1} / {_HARM_DET} AS a1,
+                             {_HARM_B1} / {_HARM_DET} AS b1,
+                             n FROM sums)
+            SELECT s.doc_id, s.day,
+                   round({_harm_eval1()}, 4) AS fitted,
+                   round(s.value - ({_harm_eval1()}), 4) AS resid,
+                   s.day > {_NRT_CUTOFF} AS is_forecast,
+                   CAST(n AS BIGINT) AS n_fit
+            FROM series s JOIN coefs USING (doc_id)
+        """
     return {
         "tier_raw_dedup": _SERIES_SQL,
         "tier_10d_interp": _interp_sql(
@@ -2914,28 +2972,41 @@ def oracle_sql() -> dict[str, str]:
                    day > hi AS is_forecast
             FROM grid
         """,
-        "harmonic_nrt": f"""
-            WITH series AS ({_SERIES_SQL}),
-            fitobs AS (SELECT doc_id, value,
-                              cos(2*pi()*(day-19700)/30.0) AS c,
-                              sin(2*pi()*(day-19700)/30.0) AS s
-                       FROM series WHERE day <= {_NRT_CUTOFF}),
-            sums AS (SELECT doc_id, count(*) AS n,
-                            sum(c) AS sc, sum(s) AS ss,
-                            sum(c*c) AS scc, sum(s*s) AS sss, sum(c*s) AS scs,
-                            sum(value) AS sy, sum(c*value) AS scy, sum(s*value) AS ssy
-                     FROM fitobs GROUP BY doc_id),
-            coefs AS (SELECT doc_id,
-                             {_HARM_A0} / {_HARM_DET} AS a0,
-                             {_HARM_A1} / {_HARM_DET} AS a1,
-                             {_HARM_B1} / {_HARM_DET} AS b1,
-                             n FROM sums)
-            SELECT s.doc_id, s.day,
-                   round({_harm_eval1()}, 4) AS fitted,
-                   round(s.value - ({_harm_eval1()}), 4) AS resid,
-                   s.day > {_NRT_CUTOFF} AS is_forecast,
-                   CAST(n AS BIGINT) AS n_fit
-            FROM series s JOIN coefs USING (doc_id)
+        "harmonic_nrt": harm_nrt_sql,
+        "nrt_break": f"""
+            WITH r AS ({harm_nrt_sql}),
+            sig AS (SELECT doc_id, round(sqrt(avg(resid*resid)), 6) AS sigma
+                    FROM r WHERE NOT is_forecast GROUP BY doc_id),
+            zc AS (SELECT r.doc_id, r.day,
+                          CASE WHEN sigma <= 0 THEN 0.0
+                               ELSE resid / sigma END AS z
+                   FROM r JOIN sig USING (doc_id) WHERE is_forecast),
+            p AS (SELECT doc_id, day,
+                         sum(z - 0.5) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+                         sum(-z - 0.5) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn
+                  FROM zc),
+            s AS (SELECT doc_id, day,
+                         pp - least(min(pp) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS sp,
+                         pn - least(min(pn) OVER (PARTITION BY doc_id ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS sn
+                  FROM p),
+            a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                         round(max(sp), 6) AS s_pos_max,
+                         round(max(sn), 6) AS s_neg_max,
+                         min(CASE WHEN sp > 5.0 THEN day END) AS bp,
+                         min(CASE WHEN sn > 5.0 THEN day END) AS bn
+                  FROM s GROUP BY doc_id)
+            SELECT a.doc_id, sigma, n, s_pos_max, s_neg_max,
+                   CASE WHEN bp IS NULL THEN bn
+                        WHEN bn IS NULL THEN bp
+                        ELSE least(bp, bn) END AS break_day,
+                   CASE WHEN bp IS NULL AND bn IS NULL THEN 0
+                        WHEN bp IS NOT NULL AND (bn IS NULL OR bp <= bn) THEN 1
+                        ELSE -1 END AS break_side
+            FROM a JOIN sig USING (doc_id)
         """,
         "qai_screen": """
             SELECT event_id, user_id AS doc_id,

@@ -86,6 +86,7 @@ HEADLINE = [
     "harmonic_fit_m2",
     "harmonic_forecast",
     "harmonic_nrt",
+    "nrt_break",
     "lsp_phenology",
     "pol_phenology",
     "spl_phenology",
@@ -133,9 +134,16 @@ def run_queries(spark, sf_dir: str) -> dict:
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # full-column checksum, not count(): count() lets Catalyst DROP an
+        # entire join subtree when the query ends in a left join against a
+        # unique-key aggregate and no right columns are referenced — a
+        # 0.6s reading for an 11s pipeline (seen on dup_span_removal).
+        # The checksum references every output column, so the timed work
+        # is the work of actually producing the query's values.
+        from pyspark.sql import functions as F
+
+        df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("x")).collect()
         times[name] = round(time.time() - t0, 3)
-        _ = n
     return times
 
 

@@ -189,13 +189,7 @@ def cusum_breaks(
     none) and break_side (+1/-1, positive side wins a same-day tie; 0 when
     no break). A zero-variance series has z = 0 everywhere and never
     breaks."""
-    # windows cannot nest inside one projection (min-of-running-sum), so the
-    # detector is three chained projections; they share the (keys) partition
-    # clustering, so Catalyst plans ONE exchange feeding three Window nodes
     wg = Window.partitionBy(*keys)
-    run = wg.orderBy("_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     v = F.col(value_col).cast("double")
     mean = F.avg(v).over(wg)
     var = F.avg(v * v).over(wg) - mean * mean
@@ -203,17 +197,47 @@ def cusum_breaks(
     zdf = df.select(
         *keys, F.col(day_col).cast("long").alias("_day"), z.alias("_z")
     )
-    pdf = zdf.select(
+    return cusum_scores(zdf, k=k, h=h, day_col="_day", z_col="_z", keys=keys)
+
+
+def cusum_scores(
+    df: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    day_col: str = "day",
+    z_col: str = "z",
+    keys: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """CUSUM final over PRECOMPUTED standardized scores — the shared decision
+    machinery of `cusum_breaks` (self-standardized) and the NRT
+    residual-monitoring composition (scores = harmonic residuals over the
+    monitoring window standardized by the fit-window sigma).
+
+    Same reflected-walk closed form as cusum_breaks; windows cannot nest
+    inside one projection (min-of-running-sum), so the detector is chained
+    projections that all share the (keys) clustering — Catalyst plans ONE
+    exchange feeding every Window node and the final aggregate."""
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(day_col).cast("long"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pdf = df.select(
         *keys,
-        "_day",
-        F.sum(F.col("_z") - F.lit(k)).over(run).alias("_pp"),
-        F.sum(-F.col("_z") - F.lit(k)).over(run).alias("_pn"),
+        F.col(day_col).cast("long").alias("_day"),
+        F.sum(F.col(z_col) - F.lit(k)).over(run).alias("_pp"),
+        F.sum(-F.col(z_col) - F.lit(k)).over(run).alias("_pn"),
+    )
+    run2 = (
+        Window.partitionBy(*keys)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scored = pdf.select(
         *keys,
         "_day",
-        (F.col("_pp") - F.least(F.min("_pp").over(run), F.lit(0.0))).alias("_sp"),
-        (F.col("_pn") - F.least(F.min("_pn").over(run), F.lit(0.0))).alias("_sn"),
+        (F.col("_pp") - F.least(F.min("_pp").over(run2), F.lit(0.0))).alias("_sp"),
+        (F.col("_pn") - F.least(F.min("_pn").over(run2), F.lit(0.0))).alias("_sn"),
     )
     bp = F.min(F.when(F.col("_sp") > h, F.col("_day")))
     bn = F.min(F.when(F.col("_sn") > h, F.col("_day")))

@@ -297,3 +297,85 @@ def run_doc_dedup_once(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_cusum_scores(
+    scores: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.stm.cusum_scores``: the NRT break
+    ALERT loop. Scores (standardized residuals against a model fitted on
+    history — the fit itself is a batch job) arrive as a stream of
+    (user_id, day, z); per-series state carries the live CUSUM registers
+    across micro-batches, so the stream raises the SAME break day/side the
+    batch detector finds on the replayed data.
+
+    State per series is seven scalars (S+, S-, their maxima, break
+    day/side, obs count) — bounded regardless of stream length. Inside a
+    batch the recurrence uses the carry-in reflected-walk identity
+    S_t = max(s0 + P_t, P_t - min_{j<=t} P_j) (vectorized numpy cumsum /
+    minimum.accumulate — no per-row Python), which reduces to the batch
+    operator's closed form at s0 = 0. Assumes per-series day-ordered
+    arrival across batches (same contract as streaming_sessionize).
+
+    Emits the updated per-series summary each batch (update mode): the
+    latest row per series is the current alert state."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n long, s_pos_max double, s_neg_max double, "
+        "break_day long, break_side integer"
+    )
+    state_schema = (
+        "sp double, sn double, spmax double, snmax double, "
+        "bday long, bside integer, n long"
+    )
+
+    def side(z, s0):
+        p = np.cumsum(z)
+        runmin = np.minimum.accumulate(p)
+        return np.maximum(s0 + p, p - runmin)
+
+    def fn(key, pdfs, state: GroupState):
+        sp, sn, spmax, snmax, bday, bside, n = (
+            state.get if state.exists else (0.0, 0.0, 0.0, 0.0, None, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame(
+                columns=["user_id", "n", "s_pos_max", "s_neg_max",
+                         "break_day", "break_side"]
+            )
+            return
+        pdf = pdf.sort_values("day")
+        z = pdf["z"].to_numpy(dtype=np.float64)
+        days = pdf["day"].to_numpy(dtype=np.int64)
+        s_pos = side(z - k, sp)
+        s_neg = side(-z - k, sn)
+        spmax = max(float(spmax), float(s_pos.max()))
+        snmax = max(float(snmax), float(s_neg.max()))
+        if bday is None:
+            # first crossing inside this batch; positive wins a same-day tie
+            ip = np.argmax(s_pos > h) if (s_pos > h).any() else None
+            im = np.argmax(s_neg > h) if (s_neg > h).any() else None
+            if ip is not None and (im is None or ip <= im):
+                bday, bside = int(days[ip]), 1
+            elif im is not None:
+                bday, bside = int(days[im]), -1
+        n = int(n) + len(pdf)
+        state.update(
+            (float(s_pos[-1]), float(s_neg[-1]), spmax, snmax, bday, bside, n)
+        )
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0], "n": n, "s_pos_max": spmax,
+                "s_neg_max": snmax, "break_day": bday, "break_side": bside,
+            }]
+        )
+
+    return scores.select("user_id", "day", "z").groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -274,3 +274,121 @@ def test_engine_breaks_over_tiers(spark, tmpdir_session):
     # result keys stay (doc_id, source)
     m = eng.breaks("tier_monthly", k=0.25, h=3.0)
     assert m.count() == 40
+
+
+# ---------------------------------------------------------------------------
+# cusum_scores (precomputed-z path, the NRT composition final)
+# ---------------------------------------------------------------------------
+
+def test_cusum_scores_matches_recurrence_on_given_z(spark):
+    from sits_classification_spark.operators.stm import cusum_scores
+
+    zs = [0.2, -0.1, 0.4, 1.5, 1.8, 2.2, 1.9, 2.5, -0.3, 0.1]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, day=i, z=z) for i, z in enumerate(zs)]
+    )
+    r = cusum_scores(df, k=0.5, h=3.0, z_col="z").collect()[0]
+    sp = sn = 0.0
+    sp_max = sn_max = 0.0
+    bp = None
+    for i, z in enumerate(zs):
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        sp_max, sn_max = max(sp_max, sp), max(sn_max, sn)
+        if bp is None and sp > 3.0:
+            bp = i
+    assert abs(r.s_pos_max - sp_max) < 1e-9
+    assert abs(r.s_neg_max - sn_max) < 1e-9
+    assert r.break_day == bp and r.break_side == 1
+
+
+# ---------------------------------------------------------------------------
+# randomized differential tests (seeded; one Spark call over many cases)
+# ---------------------------------------------------------------------------
+
+def _dup_spans_py(texts, L):
+    """Brute-force reference: dup L-gram starts merged to maximal runs."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for d, toks in texts.items():
+        gs = [tuple(toks[i:i + L]) for i in range(len(toks) - L + 1)]
+        per_doc[d] = gs
+        grams.update(gs)
+    out = set()
+    for d, gs in per_doc.items():
+        runs = []
+        for p in (i for i, g in enumerate(gs) if grams[g] >= 2):
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            out.add((d, s, e + L - 1, e + L - 1 - s + 1))
+    return out
+
+
+def test_dup_spans_random_corpus_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"v{i}" for i in range(25)]  # small vocab -> incidental repeats
+    texts = {}
+    for d in range(40):
+        texts[d] = [rng.choice(vocab) for _ in range(rng.randint(6, 60))]
+    # plant cross-doc copies: doc pairs sharing a block at random offsets
+    for a, b in ((3, 17), (8, 31), (12, 12)):  # incl. a self-repeat
+        block = [rng.choice(vocab) for _ in range(rng.randint(7, 15))]
+        ia = rng.randint(0, len(texts[a]))
+        texts[a] = texts[a][:ia] + block + texts[a][ia:]
+        ib = rng.randint(0, len(texts[b]))
+        texts[b] = texts[b][:ib] + block + texts[b][ib:]
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=" ".join(t)) for d, t in texts.items()]
+    )
+    for L in (5, 7):
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in dup_spans(df, min_len=L).collect()
+        }
+        assert got == _dup_spans_py(texts, L), f"L={L}"
+
+
+def test_cusum_random_series_match_recurrence(spark):
+    import random
+
+    rng = random.Random(99)
+    series = {}
+    for d in range(30):
+        n = rng.randint(5, 80)
+        base = rng.uniform(-50, 50)
+        vals = [base + rng.gauss(0, 3) for _ in range(n)]
+        if rng.random() < 0.5:  # half get a planted level shift
+            cut = rng.randint(1, n)
+            vals = vals[:cut] + [v + rng.uniform(-20, 20) for v in vals[cut:]]
+        series[d] = vals
+    rows = [
+        Row(doc_id=d, day=i * 3, value=v)
+        for d, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    got = {
+        r.doc_id: r
+        for r in cusum_breaks(spark.createDataFrame(rows), k=0.4, h=3.5).collect()
+    }
+    assert len(got) == 30
+    for d, vs in series.items():
+        sp_max, sn_max, bp, bn = _cusum_py(vs, 0.4, 3.5)
+        r = got[d]
+        assert abs(r.s_pos_max - sp_max) < 1e-6, d
+        assert abs(r.s_neg_max - sn_max) < 1e-6, d
+        days = [i * 3 for i in range(len(vs))]
+        exp_day = None if bp is None and bn is None else days[
+            min(x for x in (bp, bn) if x is not None)
+        ]
+        exp_side = (
+            0 if exp_day is None
+            else (1 if bp is not None and (bn is None or bp <= bn) else -1)
+        )
+        assert r.break_day == exp_day and r.break_side == exp_side, d

@@ -227,3 +227,82 @@ def test_streaming_doc_dedup_matches_batch_exact_dedup(spark, sf001):
     assert len(out) == len(batch)
     assert set(out["content_key"]) == set(batch["content_key"])
     assert out["content_key"].is_unique
+
+
+def test_streaming_cusum_matches_batch(spark, sf001, tmpdir_session):
+    """applyInPandasWithState CUSUM alerts: replaying the score stream in 3
+    micro-batches must land on the batch detector's exact summary per
+    series — the carry-in reflected-walk identity bridges batch
+    boundaries (S resumes from the previous batch's register)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sits_classification_spark.operators.stm import cusum_scores
+    from sits_classification_spark.streaming.rollup import streaming_cusum_scores
+
+    ev = spark.read.parquet(f"{sf001}/events.parquet")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    # one score per (user, day): deterministic synthetic z from the value
+    scores = (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.first("value").alias("v"))
+        .select(
+            "user_id", F.col("day").cast("long").alias("day"),
+            ((F.col("v") - 50.0) / 25.0).alias("z"),
+        )
+    )
+    truth = {
+        r["user_id"]: (r["n"], round(r["s_pos_max"], 9), round(r["s_neg_max"], 9),
+                       r["break_day"], r["break_side"])
+        for r in cusum_scores(scores, k=0.5, h=3.0, keys=("user_id",)).collect()
+    }
+
+    stream_dir = os.path.join(tmpdir_session, "cusum_stream_src")
+    rows = scores.orderBy("day", "user_id").collect()
+    n = len(rows)
+    for i in range(3):
+        part = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(
+            part, schema="user_id long, day long, z double"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, day long, z double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    q = (
+        streaming_cusum_scores(stream, k=0.5, h=3.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from pyspark.sql import Window
+
+    final = (
+        spark.sql("SELECT * FROM cusum_stream")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = {
+        r["user_id"]: (r["n"], round(r["s_pos_max"], 9), round(r["s_neg_max"], 9),
+                       r["break_day"], r["break_side"])
+        for r in final
+    }
+    assert len(got) == len(truth)
+    assert got == truth
+    # sanity: the fixture must actually exercise breaks on both sides
+    sides = {v[4] for v in truth.values()}
+    assert 1 in sides or -1 in sides
