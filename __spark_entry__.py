@@ -1388,6 +1388,21 @@ def q_contamination(spark, sf):
     return cross_split_contamination(d, split_col="split", n=8)
 
 
+def q_contamination_bloom(spark, sf):
+    """Bloom-prefiltered decontamination: a deterministic md5-derived Bloom
+    filter over the TEST split's 8-gram shingles (k=3 positions, m=2^18
+    bits) probed map-only over every train doc via broadcast bit-table
+    lookups — the scale path in front of the exact `contamination` screen;
+    no false negatives by construction."""
+    from sits_classification_spark.operators.split import stratified_split
+    from sits_classification_spark.operators.text import bloom_decontaminate
+
+    d = stratified_split(
+        _read(spark, sf, "documents"), "lang", "doc_id", train=0.8, val=0.1
+    )
+    return bloom_decontaminate(d, split_col="split", n=8, m_bits=1 << 18)
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -1821,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
         "hash_sample": q_hash_sample,
         "session_stats": q_session_stats,
         "hll_distinct": q_hll_distinct,
@@ -2700,6 +2716,52 @@ _CONTAM_ORACLE = r"""
 """
 
 
+_CONTAM_BLOOM_ORACLE = r"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(lang || ':' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    r AS (SELECT doc_id, w,
+                 (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                   - 1) / (count(*) OVER (PARTITION BY lang)) AS frac
+          FROM d),
+    sp AS (SELECT doc_id, w,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS sp
+           FROM r WHERE len(w) >= 8),
+    sh AS (SELECT doc_id, sp,
+                  unnest(list_distinct(list_transform(
+                      range(len(w) - 7),
+                      i -> CAST('0x' || substr(md5(
+                          array_to_string(w[i+1:i+8], ' ')), 1, 7)
+                          AS BIGINT)))) AS hs
+           FROM sp),
+    bits AS (SELECT DISTINCT pos FROM (
+               SELECT unnest([((hs*7+3) % 2147483647) % 262144,
+                              ((hs*11+5) % 2147483647) % 262144,
+                              ((hs*13+17) % 2147483647) % 262144]) AS pos
+               FROM sh WHERE sp = 'test')),
+    probe AS (SELECT doc_id,
+                     ((hs*7+3) % 2147483647) % 262144 AS p0,
+                     ((hs*11+5) % 2147483647) % 262144 AS p1,
+                     ((hs*13+17) % 2147483647) % 262144 AS p2
+              FROM sh WHERE sp = 'train')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN p0 IN (SELECT pos FROM bits)
+                          AND p1 IN (SELECT pos FROM bits)
+                          AND p2 IN (SELECT pos FROM bits)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(sum(CASE WHEN p0 IN (SELECT pos FROM bits)
+                          AND p1 IN (SELECT pos FROM bits)
+                          AND p2 IN (SELECT pos FROM bits)
+                     THEN 1 ELSE 0 END) AS BIGINT) >= 1 AS flagged
+    FROM probe GROUP BY doc_id
+"""
+
+
 _SESSION_ORACLE = """
     WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
                FROM events),
@@ -3408,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "unigram_logprob": _UNIGRAM_ORACLE,
         "contamination": _CONTAM_ORACLE,
+        "contamination_bloom": _CONTAM_BLOOM_ORACLE,
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "session_stats": _SESSION_ORACLE,
         "hll_distinct": _hll_oracle_sql(),

@@ -110,6 +110,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "unigram_logprob",
     "contamination",
+    "contamination_bloom",
     "hash_sample",
     "session_stats",
     "hll_distinct",

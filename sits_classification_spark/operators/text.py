@@ -526,3 +526,87 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(no_email, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+BLOOM_POS_PARAMS = ((7, 3), (11, 5), (13, 17))  # k=3 position derivations
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    split_col: str = "split",
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the SCALE path in front of
+    `cross_split_contamination`: at 100 TB the exact screen's inverted
+    index shuffles every train shingle, while an eval/test set is tiny by
+    construction (benchmarks), so the right first pass is a sketch of the
+    test shingles probed map-only over train.
+
+    Construction is deterministic integer math so a SQL oracle reproduces
+    it bit-for-bit: shingle -> 28-bit md5 hash h, k=3 bit positions
+    ((h*a + b) mod M31) mod m (overflow-safe in int64 because h < 2^28).
+    The set-bit table (<= k * |test shingles| rows — the filter's
+    popcount, NOT the corpus size) is broadcast, and the probe is three
+    broadcast-hash lookups per train shingle: map-only over the big side,
+    no train-side shuffle until the final per-doc aggregate.
+
+    Output, one row per train doc: n_shingles, n_maybe (shingles whose k
+    bits are all set), flagged. GUARANTEE: no false negatives — every
+    train doc sharing an n-gram with the test split is flagged; false
+    positives at the bloom rate (~(k*S/m)^k per shingle), to be fed to
+    the exact screen. Unlike Spark's built-in bloom_filter_agg, the
+    md5-derived construction is engine-independent (cross-checkable) and
+    needs no private hash."""
+    base = df.select(
+        "doc_id", F.col(split_col).alias("sp"), words(text_col).alias("w")
+    ).filter(F.size("w") >= n)
+    sh = base.select(
+        "doc_id",
+        "sp",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    ngram_shingles(F.col("w"), n),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    m31 = 2_147_483_647
+
+    def pos(i: int) -> Column:
+        a, b = BLOOM_POS_PARAMS[i]
+        return F.pmod(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(m31)), F.lit(m_bits)
+        )
+
+    k = len(BLOOM_POS_PARAMS)
+    bits = (
+        sh.filter(F.col("sp") == "test")
+        .select(F.explode(F.array(*[pos(i) for i in range(k)])).alias("pos"))
+        .distinct()
+    )
+    probe = sh.filter(F.col("sp") == "train").select(
+        "doc_id", *[pos(i).alias(f"p{i}") for i in range(k)]
+    )
+    for i in range(k):
+        b = bits.withColumnRenamed("pos", f"b{i}")
+        probe = probe.join(
+            F.broadcast(b), F.col(f"p{i}") == F.col(f"b{i}"), "left"
+        )
+    hit = F.lit(True)
+    for i in range(k):
+        hit = hit & F.col(f"b{i}").isNotNull()
+    return (
+        probe.select("doc_id", hit.alias("_hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("_hit").cast("long")).alias("n_maybe"),
+        )
+        .withColumn("flagged", F.col("n_maybe") >= 1)
+    )

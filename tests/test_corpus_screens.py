@@ -205,3 +205,43 @@ def test_cap_per_source_exact_counts_and_determinism(spark):
     # survivors are a subset of the input and stable under a bigger cap
     big = {r["doc_id"] for r in cap_per_source(df, cap=20).collect()}
     assert {r["doc_id"] for r in a} <= big
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from pyspark.sql import Row
+
+    from sits_classification_spark.operators.text import (
+        bloom_decontaminate,
+        cross_split_contamination,
+    )
+
+    leak = " ".join(f"leak{i}" for i in range(12))
+    rows = [
+        Row(doc_id=1, split="train", text="one " + leak + " two"),   # leaked
+        Row(doc_id=2, split="train",
+            text=" ".join(f"clean{i}" for i in range(20))),          # clean
+        Row(doc_id=3, split="train", text=leak),                     # leaked
+        Row(doc_id=4, split="test", text="pre " + leak + " post"),
+        Row(doc_id=5, split="test",
+            text=" ".join(f"other{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows)
+    bloom = {r.doc_id: r for r in
+             bloom_decontaminate(df, split_col="split", n=8).collect()}
+    exact = cross_split_contamination(df, split_col="split", n=8).collect()
+    exact_train = {r.train_doc for r in exact}
+    assert exact_train == {1, 3}
+    # GUARANTEE: every exactly-contaminated train doc is bloom-flagged
+    for d in exact_train:
+        assert bloom[d].flagged, d
+    # every train doc (flagged or not) gets a row with its shingle count
+    assert set(bloom) == {1, 2, 3}
+    assert bloom[2].n_shingles > 0
+    # at this tiny fill the filter should also be FP-free
+    assert not bloom[2].flagged
+    # n_maybe upper-bounds nothing but is >= the true shared-shingle count
+    shared_by_doc = {}
+    for r in exact:
+        shared_by_doc[r.train_doc] = shared_by_doc.get(r.train_doc, 0) + r.n_shared
+    for d, s in shared_by_doc.items():
+        assert bloom[d].n_maybe >= min(s, bloom[d].n_shingles)

@@ -77,14 +77,25 @@ def main():
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    def run(fn, d):
+        # checksum, not count(): count() lets Catalyst drop whole join
+        # subtrees (see bench.py run_queries) — time producing the values;
+        # the row count rides the same single action
+        df = fn(spark, d)
+        row = df.select(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64(*df.columns))
+        ).collect()[0]
+        return row[0]
+
     base_times, rep_times, errors = {}, {}, {}
     for name, fn in qs.items():
         try:
             t0 = time.time()
-            n0 = fn(spark, SRC).count()
+            n0 = run(fn, SRC)
             base_times[name] = time.time() - t0
             t0 = time.time()
-            n1 = fn(spark, out_dir).count()
+            n1 = run(fn, out_dir)
             rep_times[name] = time.time() - t0
             print(
                 f"{name}: sf0.1 {base_times[name]:.2f}s/{n0} rows -> "
