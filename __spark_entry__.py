@@ -1187,6 +1187,60 @@ def q_corpus_clean(spark, sf):
     )
 
 
+def q_training_mix(spark, sf):
+    """The full make-a-training-set pipeline as ONE query — the composition
+    every stage of this engine exists for: stratified split -> quality
+    screen (>= 30 tokens) -> exact-content canonical -> near-dup canonical
+    (LSH + connected components) -> Bloom decontamination against the test
+    split -> temperature mixture over the survivors' token mass (alpha=0.7,
+    50% budget). Every stage is an already-oracled operator; the oracle is
+    the same composition in SQL."""
+    from sits_classification_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from sits_classification_spark.operators.split import (
+        mixture_sample_tokens,
+        stratified_split,
+    )
+    from sits_classification_spark.operators.text import (
+        bloom_decontaminate,
+        words,
+    )
+
+    d = stratified_split(
+        _read(spark, sf, "documents"), "lang", "doc_id", train=0.8, val=0.1
+    )
+    w = Window.partitionBy(F.md5("text"))
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(d, k=4, bands=2, max_bucket=1000)
+    )
+    flagged = (
+        bloom_decontaminate(d, split_col="split", n=8)
+        .filter("flagged")
+        .select("doc_id")
+    )
+    clean = (
+        d.withColumn("n_tokens", F.size(words("text")))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .join(clusters, "doc_id", "left")
+        .join(flagged, "doc_id", "left_anti")
+        .filter(
+            (F.col("split") == "train")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("doc_id") == F.col("keeper"))
+            & (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            )
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+    return mixture_sample_tokens(
+        clean, budget_frac=0.5, temperature=0.7, weight_col="n_chars"
+    )
+
+
 def q_simhash16(spark, sf):
     d = _read(spark, sf, "documents")
     return simhash(d, nbits=16)
@@ -1390,7 +1444,7 @@ def q_contamination(spark, sf):
 
 def q_contamination_bloom(spark, sf):
     """Bloom-prefiltered decontamination: a deterministic md5-derived Bloom
-    filter over the TEST split's 8-gram shingles (k=3 positions, m=2^18
+    filter over the TEST split's 8-gram shingles (k=3 positions, m=2^22
     bits) probed map-only over every train doc via broadcast bit-table
     lookups — the scale path in front of the exact `contamination` screen;
     no false negatives by construction."""
@@ -1400,7 +1454,7 @@ def q_contamination_bloom(spark, sf):
     d = stratified_split(
         _read(spark, sf, "documents"), "lang", "doc_id", train=0.8, val=0.1
     )
-    return bloom_decontaminate(d, split_col="split", n=8, m_bits=1 << 18)
+    return bloom_decontaminate(d, split_col="split", n=8, m_bits=1 << 22)
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -1822,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
+        "training_mix": q_training_mix,
         "simhash16": q_simhash16,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -2739,14 +2794,14 @@ _CONTAM_BLOOM_ORACLE = r"""
                           AS BIGINT)))) AS hs
            FROM sp),
     bits AS (SELECT DISTINCT pos FROM (
-               SELECT unnest([((hs*7+3) % 2147483647) % 262144,
-                              ((hs*11+5) % 2147483647) % 262144,
-                              ((hs*13+17) % 2147483647) % 262144]) AS pos
+               SELECT unnest([((hs*7+3) % 2147483647) % 4194304,
+                              ((hs*11+5) % 2147483647) % 4194304,
+                              ((hs*13+17) % 2147483647) % 4194304]) AS pos
                FROM sh WHERE sp = 'test')),
     probe AS (SELECT doc_id,
-                     ((hs*7+3) % 2147483647) % 262144 AS p0,
-                     ((hs*11+5) % 2147483647) % 262144 AS p1,
-                     ((hs*13+17) % 2147483647) % 262144 AS p2
+                     ((hs*7+3) % 2147483647) % 4194304 AS p0,
+                     ((hs*11+5) % 2147483647) % 4194304 AS p1,
+                     ((hs*13+17) % 2147483647) % 4194304 AS p2
               FROM sh WHERE sp = 'train')
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_shingles,
@@ -3444,6 +3499,80 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN clusters c USING (doc_id)
             WHERE n_tokens >= 30 AND d.doc_id = keeper
               AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+        """,
+        "training_mix": f"""
+            WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pairs),
+            reach(doc, lbl) AS (
+                SELECT src AS doc, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS doc, reach.lbl
+                FROM reach JOIN edges e ON reach.doc = e.src),
+            clusters AS (SELECT doc AS doc_id, min(lbl) AS cluster_id
+                         FROM reach GROUP BY doc),
+            d0 AS (SELECT doc_id, lang, source, n_chars, text,
+                          CAST('0x' || substr(md5(lang || ':' ||
+                              CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hsp,
+                          {_WORDS} AS w
+                   FROM documents),
+            r AS (SELECT *,
+                         (row_number() OVER (PARTITION BY lang
+                                             ORDER BY hsp, doc_id) - 1)
+                           / (count(*) OVER (PARTITION BY lang)) AS frac
+                  FROM d0),
+            sp AS (SELECT doc_id, source, n_chars, text, w,
+                          CASE WHEN frac < 0.8 THEN 'train'
+                               WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS sp
+                   FROM r),
+            shb AS (SELECT doc_id, sp,
+                           unnest(list_distinct(list_transform(
+                               range(len(w) - 7),
+                               i -> CAST('0x' || substr(md5(
+                                   array_to_string(w[i+1:i+8], ' ')), 1, 7)
+                                   AS BIGINT)))) AS hs
+                    FROM sp WHERE len(w) >= 8),
+            bits AS (SELECT DISTINCT pos FROM (
+                       SELECT unnest([((hs*7+3) % 2147483647) % 4194304,
+                                      ((hs*11+5) % 2147483647) % 4194304,
+                                      ((hs*13+17) % 2147483647) % 4194304]) AS pos
+                       FROM shb WHERE sp = 'test')),
+            flagged AS (SELECT DISTINCT doc_id FROM shb
+                        WHERE sp = 'train'
+                          AND ((hs*7+3) % 2147483647) % 4194304 IN (SELECT pos FROM bits)
+                          AND ((hs*11+5) % 2147483647) % 4194304 IN (SELECT pos FROM bits)
+                          AND ((hs*13+17) % 2147483647) % 4194304 IN (SELECT pos FROM bits)),
+            clean AS (
+                SELECT s.doc_id, s.source, s.n_chars
+                FROM (SELECT *, len(w) AS n_tokens,
+                             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+                      FROM sp) s
+                LEFT JOIN clusters c ON s.doc_id = c.doc_id
+                WHERE s.sp = 'train' AND s.n_tokens >= 30
+                  AND s.doc_id = s.keeper
+                  AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)
+                  AND s.doc_id NOT IN (SELECT doc_id FROM flagged)),
+            plan AS (
+                SELECT source,
+                       CAST(floor(weight * (CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) AS target_toks
+                FROM (SELECT source, toks,
+                             round(pow(CAST(toks AS DOUBLE), 0.7)
+                                   / sum(pow(CAST(toks AS DOUBLE), 0.7)) OVER (), 6) AS weight,
+                             sum(toks) OVER () AS total
+                      FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+                            FROM clean GROUP BY source))),
+            rk AS (SELECT doc_id, source,
+                          sum(n_chars) OVER (
+                              PARTITION BY source
+                              ORDER BY md5(source || ':' ||
+                                           CAST(doc_id AS VARCHAR)) ASC,
+                                       doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+                   FROM clean)
+            SELECT doc_id, source, CAST(cum_toks AS BIGINT) AS cum_toks
+            FROM rk JOIN plan USING (source) WHERE cum_toks <= target_toks
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),

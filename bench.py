@@ -105,6 +105,7 @@ HEADLINE = [
     "ann_recall",
     "ivf_topk",
     "dedup_clusters",
+    "training_mix",
     "doc_quality",
     "pack_chunks",
     "tfidf_top_terms",

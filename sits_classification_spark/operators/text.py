@@ -535,7 +535,7 @@ def bloom_decontaminate(
     df: DataFrame,
     split_col: str = "split",
     n: int = 8,
-    m_bits: int = 1 << 18,
+    m_bits: int = 1 << 22,
     text_col: str = "text",
 ) -> DataFrame:
     """Bloom-prefiltered decontamination — the SCALE path in front of
@@ -556,7 +556,11 @@ def bloom_decontaminate(
     bits are all set), flagged. GUARANTEE: no false negatives — every
     train doc sharing an n-gram with the test split is flagged; false
     positives at the bloom rate (~(k*S/m)^k per shingle), to be fed to
-    the exact screen. Unlike Spark's built-in bloom_filter_agg, the
+    the exact screen. SIZE m_bits to the test set: ~16 bits per test
+    shingle keeps the per-shingle FP under 1e-5 (an undersized filter
+    silently flags — and a decontamination pass then DROPS — a growing
+    fraction of clean docs: at 24% fill, ~half of 47-shingle docs
+    false-flag). Unlike Spark's built-in bloom_filter_agg, the
     md5-derived construction is engine-independent (cross-checkable) and
     needs no private hash."""
     base = df.select(
