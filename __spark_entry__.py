@@ -1470,6 +1470,45 @@ def q_contamination_bloom(spark, sf):
     return bloom_decontaminate(d, split_col="split", n=8, m_bits=1 << 22)
 
 
+def _doc_media(spark, sf):
+    """Deterministic media table derived from documents: payload = UTF-8
+    text bytes (the corpus is ASCII, so DuckDB's per-char ascii() sees the
+    same byte values), kind round-robins by doc_id, duration from
+    n_chars."""
+    d = _read(spark, sf, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), 3) + 1).cast("int"),
+    )
+    return d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        (F.col("n_chars") * 7).cast("int").alias("duration_ms"),
+    )
+
+
+def q_media_features(spark, sf):
+    """Multimodal Arrow path with a DuckDB oracle: the byte-bounded
+    mapInPandas pipeline (1 MiB chunk cap, so re-chunking actually fires)
+    computing per-media byte statistics — proves the media plumbing
+    delivers exactly-once, batch-boundary-independent rows."""
+    from sits_classification_spark.operators.multimodal import byte_stats
+
+    return byte_stats(_doc_media(spark, sf), max_batch_bytes=1 << 20)
+
+
+def q_media_frames(spark, sf):
+    """Video frame-sampling plan (the Spark-side half of frame extraction):
+    one row per (video, frame timestamp) at a 250 ms stride."""
+    from sits_classification_spark.operators.multimodal import frame_sample_plan
+
+    media = _doc_media(spark, sf).filter(F.col("kind") == "video")
+    out = frame_sample_plan(media, every_ms=250)
+    return out.select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -1905,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "contamination": q_contamination,
         "contamination_bloom": q_contamination_bloom,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "hash_sample": q_hash_sample,
         "session_stats": q_session_stats,
         "hll_distinct": q_hll_distinct,
@@ -3613,6 +3654,22 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _UNIGRAM_ORACLE,
         "contamination": _CONTAM_ORACLE,
         "contamination_bloom": _CONTAM_BLOOM_ORACLE,
+        "media_features": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(ascii(text[1:1]) AS BIGINT) AS head_byte,
+                   CAST(ascii(text[length(text):length(text)]) AS BIGINT) AS tail_byte,
+                   CAST(list_aggregate(list_transform(
+                       range(1, length(text) + 1), i -> ascii(text[i:i])),
+                       'sum') AS BIGINT) AS byte_sum
+            FROM documents
+        """,
+        "media_frames": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(unnest(generate_series(0, n_chars * 7 - 1, 250)) AS BIGINT) AS frame_ms
+            FROM documents WHERE doc_id % 3 = 2
+        """,
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "session_stats": _SESSION_ORACLE,
         "hll_distinct": _hll_oracle_sql(),

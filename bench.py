@@ -120,6 +120,7 @@ HEADLINE = [
     "heavy_hitters",
     "source_cap",
     "length_quantiles",
+    "media_features",
     "dup_spans",
     "dup_span_removal",
     "cusum_breaks",

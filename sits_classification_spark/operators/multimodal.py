@@ -105,6 +105,43 @@ def extract_features(
     )
 
 
+def byte_stats(
+    media: DataFrame, max_batch_bytes: int = 64 << 20
+) -> DataFrame:
+    """Oracle-checkable probe of the multimodal Arrow path: the SAME
+    byte-bounded mapInPandas pipeline as extract_features, but with a
+    "decoder" whose output is pure byte arithmetic (length, head/tail
+    byte, byte sum) — deterministic and SQL-reproducible, so a DuckDB
+    oracle can verify the batching/re-chunking plumbing delivers
+    exactly-once, batch-boundary-independent per-row results (a fake
+    random decoder can only be pytest-checked; this one closes the
+    driver-oracle gap for the media path)."""
+    schema = (
+        "media_id string, kind string, n_bytes long, head_byte long, "
+        "tail_byte long, byte_sum long"
+    )
+
+    def run(batches):
+        for chunk in _bounded_batches(batches, max_batch_bytes):
+            ps = [bytes(p) for p in chunk["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": chunk["media_id"],
+                    "kind": chunk["kind"],
+                    "n_bytes": [len(p) for p in ps],
+                    "head_byte": [p[0] if p else None for p in ps],
+                    "tail_byte": [p[-1] if p else None for p in ps],
+                    "byte_sum": [
+                        int(np.frombuffer(p, dtype=np.uint8).sum()) for p in ps
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload", "n_bytes").mapInPandas(
+        run, schema=schema
+    )
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -306,3 +306,25 @@ def test_streaming_cusum_matches_batch(spark, sf001, tmpdir_session):
     # sanity: the fixture must actually exercise breaks on both sides
     sides = {v[4] for v in truth.values()}
     assert 1 in sides or -1 in sides
+
+
+def test_byte_stats_batch_boundary_independent(spark):
+    """The byte-bounded re-chunker must not change results: a pathologically
+    small byte cap (every row its own chunk) and a huge cap produce
+    identical per-media stats."""
+    from sits_classification_spark.operators.multimodal import (
+        byte_stats,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60)
+    tiny = sorted(map(tuple, byte_stats(media, max_batch_bytes=1).collect()))
+    huge = sorted(map(tuple, byte_stats(media, max_batch_bytes=1 << 30).collect()))
+    assert tiny == huge and len(tiny) == 60
+    # spot-check one row against python
+    import hashlib
+    payload = hashlib.sha256(b"media0").digest() * 4
+    row = next(r for r in tiny if r[0] == "m000000")
+    assert row[2] == len(payload)
+    assert row[3] == payload[0] and row[4] == payload[-1]
+    assert row[5] == sum(payload)
