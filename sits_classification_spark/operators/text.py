@@ -77,9 +77,16 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + distinct-token count + char-per-token,
     plus the BPE-ish pre-tokenizer count (`BPE_RE`) — the usual proxy for
     "how many subword tokens will the trainer see" without shipping a
-    vocab file."""
-    w = words(text_col)
-    return df.select(
+    vocab file.
+
+    The words array is staged behind a select (here and in the sibling
+    metrics below): several output columns reference it, and
+    CollapseProject inlines a DIRECT expression into every reference (one
+    regex tokenization per reference) but keeps a multiply-referenced
+    non-cheap ALIAS at one evaluation (SPARK-36718)."""
+    staged = df.select("doc_id", F.col(text_col), words(text_col).alias("_w"))
+    w = F.col("_w")
+    return staged.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
@@ -90,8 +97,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, mean word length, stopword ratio,
-    punctuation ratio, uppercase ratio — the usual pre-training screens."""
-    w = words(text_col)
+    punctuation ratio, uppercase ratio — the usual pre-training screens.
+    Words staged behind a select — see token_count."""
+    staged = df.select("doc_id", F.col(text_col), words(text_col).alias("_w"))
+    w = F.col("_w")
     n = F.size(w)
     mean_wlen = F.aggregate(
         w, F.lit(0.0), lambda acc, x: acc + F.length(x)
@@ -99,7 +108,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS["en"])))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
-    return df.select(
+    return staged.select(
         "doc_id",
         F.length(text_col).alias("n_chars_m"),
         n.alias("n_tokens"),
@@ -112,8 +121,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram-free language ID heuristic: argmax of stopword hits per
-    language. Deterministic, SQL-expressible."""
-    w = words(text_col)
+    language. Deterministic, SQL-expressible. Words staged behind a
+    select — see token_count (one tokenization, not one per language)."""
+    staged = df.select("doc_id", "lang", words(text_col).alias("_w"))
+    w = F.col("_w")
 
     def in_set(sw):
         return lambda x: x.isin(*sw)
@@ -122,7 +133,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(w, in_set(sw))).alias(f"hits_{lg}")
         for lg, sw in STOPWORDS.items()
     ]
-    scored = df.select("doc_id", "lang", *hits)
+    scored = staged.select("doc_id", "lang", *hits)
     langs = list(STOPWORDS)
     arr = F.array(*[F.col(f"hits_{lg}") for lg in langs])
     best = F.array_position(arr, F.array_max(arr))
@@ -135,14 +146,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: order-independent 60-bit hash combination
     (bit_xor of word hashes) + length — a cheap rolling-hash-style content id
-    usable for exact-content dedup across shards."""
-    w = words(text_col)
+    usable for exact-content dedup across shards. Words staged behind a
+    select — see token_count."""
+    staged = df.select("doc_id", words(text_col).alias("_w"))
+    w = F.col("_w")
     xor_hash = F.aggregate(
         F.transform(w, word_hash60),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseXOR(x),
     )
-    return df.select(
+    return staged.select(
         "doc_id",
         xor_hash.alias("fingerprint"),
         F.size(w).alias("n_tokens"),
