@@ -184,13 +184,17 @@ def bm25_scores(
     idf uses the +1 log form (always positive): ln(1 + (N - df + 0.5) /
     (df + 0.5)). The score is emitted quantized to integer micro-units
     (floor(x*1e6 + 0.5)) because ln/avg differ across engines by ~1ulp."""
-    w = words(text_col)
+    # words staged behind a select: one tokenization, not one per query
+    # term (CollapseProject inlines a direct expression into every tf_i
+    # reference; a multiply-referenced alias stays at one eval, SPARK-36718)
+    staged = df.select("doc_id", words(text_col).alias("_w"))
+    w = F.col("_w")
     dl = F.size(w)
     tfs = [
         F.size(F.filter(w, lambda x: x == F.lit(t))).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
-    toks = df.select("doc_id", dl.alias("dl"), *tfs)
+    toks = staged.select("doc_id", dl.alias("dl"), *tfs)
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
