@@ -538,6 +538,31 @@ def q_nrt_break(spark, sf):
     )
 
 
+def q_stratified_points(spark, sf):
+    """The reference's sampling stage (utils/sampling_run.py:26-118) over a
+    synthetic pixel lattice derived bijectively from event ids: grid
+    decimation (skip=2 — the distance//pixel_size thinning) then
+    value-range stratified sampling with per-range proportions of a
+    200-point budget; md5-rank replaces random.sample (the engine-wide
+    deterministic substitute)."""
+    from sits_classification_spark.operators.lookup import (
+        stratified_point_sample,
+    )
+
+    ev = _read(spark, sf, "events")
+    pts = ev.select(
+        F.pmod(F.col("event_id"), F.lit(1000)).cast("long").alias("px"),
+        F.expr("event_id DIV 1000").cast("long").alias("py"),
+        "value",
+    )
+    return stratified_point_sample(
+        pts,
+        [(0.0, 30.0, 0.4), (30.0, 80.0, 0.4), (80.0, 100000.0, 0.2)],
+        total_points=200,
+        skip=2,
+    )
+
+
 def q_qai_screen(spark, sf):
     """F1 QAI bitmask screening (TSA.prm:135-141): synthetic quality flags
     derived from event_id; drop rows whose bits intersect
@@ -1891,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_nrt": q_harmonic_nrt,
         "nrt_break": q_nrt_break,
         "qai_screen": q_qai_screen,
+        "stratified_points": q_stratified_points,
         "doy_window": q_doy_window,
         "cat_change": q_cat_change,
         "standardize_user": q_standardize_user,
@@ -3178,6 +3204,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bp IS NOT NULL AND (bn IS NULL OR bp <= bn) THEN 1
                         ELSE -1 END AS break_side
             FROM a JOIN sig USING (doc_id)
+        """,
+        "stratified_points": """
+            WITH pts AS (
+                SELECT CAST(event_id % 1000 AS BIGINT) AS px,
+                       CAST(event_id // 1000 AS BIGINT) AS py,
+                       value
+                FROM events
+                WHERE event_id % 1000 % 2 = 0 AND event_id // 1000 % 2 = 0
+                  AND value IS NOT NULL),
+            strat AS (
+                SELECT px, py, value,
+                       CASE WHEN value >= 0.0 AND value < 30.0 THEN 0
+                            WHEN value >= 30.0 AND value < 80.0 THEN 1
+                            WHEN value >= 80.0 AND value < 100000.0 THEN 2
+                       END AS range_idx
+                FROM pts),
+            ranked AS (
+                SELECT px, py, value, range_idx,
+                       row_number() OVER (
+                           PARTITION BY range_idx
+                           ORDER BY md5(CAST(px AS VARCHAR) || ':' ||
+                                        CAST(py AS VARCHAR)) ASC,
+                                    px ASC, py ASC) AS rk
+                FROM strat WHERE range_idx IS NOT NULL)
+            SELECT px, py, value, range_idx, CAST(rk AS BIGINT) AS rk
+            FROM ranked
+            WHERE rk <= CASE range_idx WHEN 0 THEN 80 WHEN 1 THEN 80
+                                       WHEN 2 THEN 40 ELSE 0 END
         """,
         "qai_screen": """
             SELECT event_id, user_id AS doc_id,

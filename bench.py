@@ -113,6 +113,7 @@ HEADLINE = [
     "contamination",
     "contamination_bloom",
     "hash_sample",
+    "stratified_points",
     "session_stats",
     "hll_distinct",
     "repetition",

@@ -392,3 +392,53 @@ def test_cusum_random_series_match_recurrence(spark):
             else (1 if bp is not None and (bn is None or bp <= bn) else -1)
         )
         assert r.break_day == exp_day and r.break_side == exp_side, d
+
+
+# ---------------------------------------------------------------------------
+# stratified_point_sample (the reference's sampling stage)
+# ---------------------------------------------------------------------------
+
+def test_stratified_point_sample_semantics(spark):
+    from sits_classification_spark.operators.lookup import (
+        stratified_point_sample,
+    )
+
+    rows = []
+    for px in range(20):
+        for py in range(20):
+            v = float((px * 20 + py) % 100)
+            rows.append(Row(px=px, py=py, value=v))
+    rows.append(Row(px=0, py=2, value=None))  # nodata: excluded
+    df = spark.createDataFrame(rows)
+    ranges = [(0.0, 50.0, 0.5), (50.0, 100.0, 0.25)]
+    out = stratified_point_sample(
+        df, ranges, total_points=40, skip=2, value_col="value"
+    ).collect()
+    # decimation: every sampled point sits on the skip-2 lattice
+    assert all(r.px % 2 == 0 and r.py % 2 == 0 for r in out)
+    # per-range limits: int(40*0.5)=20 and int(40*0.25)=10
+    by_rng = {}
+    for r in out:
+        by_rng.setdefault(r.range_idx, []).append(r)
+    assert len(by_rng[0]) == 20 and len(by_rng[1]) == 10
+    assert all(0.0 <= r.value < 50.0 for r in by_rng[0])
+    assert all(50.0 <= r.value < 100.0 for r in by_rng[1])
+    # deterministic across runs
+    again = stratified_point_sample(
+        df, ranges, total_points=40, skip=2, value_col="value"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_stratified_point_sample_small_stratum_keeps_all(spark):
+    from sits_classification_spark.operators.lookup import (
+        stratified_point_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(px=i * 2, py=0, value=float(i)) for i in range(5)]
+    )
+    out = stratified_point_sample(
+        df, [(0.0, 100.0, 1.0)], total_points=50, skip=2, value_col="value"
+    ).collect()
+    assert len(out) == 5  # fewer candidates than the budget: keep all
