@@ -1464,6 +1464,20 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(_read(spark, sf, "documents"))
 
 
+def q_bigram_logprob(spark, sf):
+    """Cross-split bigram LM with stupid backoff (Brants et al. 2007; the
+    CCNet-style quality screen): counts trained on the stratified TRAIN
+    split, held-out test docs scored; per-bigram -ln quantized to int
+    micro-units before the per-doc sum (engine-exact)."""
+    from sits_classification_spark.operators.split import stratified_split
+    from sits_classification_spark.operators.text import bigram_logprob
+
+    d = stratified_split(
+        _read(spark, sf, "documents"), "lang", "doc_id", train=0.8, val=0.1
+    )
+    return bigram_logprob(d, split_col="split")
+
+
 def q_contamination(spark, sf):
     """Train/test decontamination: 8-gram shingle overlap between the test
     and train halves of the stratified split (composed on
@@ -1968,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "contamination": q_contamination,
         "contamination_bloom": q_contamination_bloom,
         "media_features": q_media_features,
@@ -2814,6 +2829,52 @@ _UNIGRAM_ORACLE = r"""
            CAST(floor(CAST(sum(qlp) AS DOUBLE) / count(*)) AS BIGINT)
              AS avg_nll_e6
     FROM q GROUP BY doc_id
+"""
+
+# cross-split bigram LM with stupid backoff; counts from the stratified
+# train split, scores for the test split (quantized int64 sums, see
+# operators/text.py bigram_logprob)
+_BIGRAM_ORACLE = r"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5(lang || ':' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    r AS (SELECT doc_id, w,
+                 (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                   - 1) / (count(*) OVER (PARTITION BY lang)) AS frac
+          FROM d),
+    sp AS (SELECT doc_id, w,
+                  CASE WHEN frac < 0.8 THEN 'train'
+                       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS sp
+           FROM r),
+    bg AS (SELECT doc_id, sp, w[i] AS w1, w[i+1] AS w2
+           FROM sp, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+            WHERE sp = 'train' GROUP BY 1, 2),
+    uni AS (SELECT t, count(*) AS c FROM (
+                SELECT unnest(w) AS t FROM sp WHERE sp = 'train')
+            GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_train FROM uni),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg
+           WHERE sp = 'test' GROUP BY 1, 2, 3),
+    j AS (SELECT tf.doc_id, tf.tf,
+                 CASE WHEN c12.c12 IS NOT NULL
+                      THEN CAST(c12.c12 AS DOUBLE) / u1.c
+                      ELSE CAST(0.4 AS DOUBLE) * (coalesce(u2.c, 0) + 1)
+                           / (n.n_train + 1) END AS s
+          FROM tf LEFT JOIN c12 USING (w1, w2)
+                  LEFT JOIN uni u1 ON tf.w1 = u1.t
+                  LEFT JOIN uni u2 ON tf.w2 = u2.t
+                  CROSS JOIN n)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(-ln(s) * 1000000 + 0.5) AS BIGINT) * tf)
+                AS BIGINT) AS nll_e6,
+           CAST(floor(CAST(sum(CAST(floor(-ln(s) * 1000000 + 0.5) AS BIGINT)
+                                * tf) AS DOUBLE) / sum(tf)) AS BIGINT)
+             AS avg_nll_e6
+    FROM j GROUP BY doc_id
 """
 
 # 8-gram contamination over the stratified split (train x test inverted
@@ -3706,6 +3767,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _pack_oracle_sql(),
         "tfidf_top_terms": _TFIDF_ORACLE,
         "unigram_logprob": _UNIGRAM_ORACLE,
+        "bigram_logprob": _BIGRAM_ORACLE,
         "contamination": _CONTAM_ORACLE,
         "contamination_bloom": _CONTAM_BLOOM_ORACLE,
         "media_features": """

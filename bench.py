@@ -110,6 +110,7 @@ HEADLINE = [
     "pack_chunks",
     "tfidf_top_terms",
     "unigram_logprob",
+    "bigram_logprob",
     "contamination",
     "contamination_bloom",
     "hash_sample",

@@ -631,3 +631,86 @@ def bloom_decontaminate(
         )
         .withColumn("flagged", F.col("n_maybe") >= 1)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Cross-split bigram LM scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the
+    CCNet-style LM quality screen: train the counts on the TRAIN split,
+    score the held-out docs; low average negative log-likelihood means
+    fluent/in-domain text, high means junk or out-of-domain.
+
+    s(w2|w1) = c12/c1(w1) when the bigram was seen in train, else
+    alpha * (c2(w2)+1) / (N+1) — add-one unigram backoff so OOV words
+    score finitely. Per-bigram -ln(s) is quantized to integer micro-units
+    BEFORE the per-doc sum (int64 sums are immune to partial-aggregation
+    order — see unigram_logprob), so the result is engine-exact.
+
+    Plan: train bigram/unigram counts are hash-aggregates (map-side
+    combined); the scored side joins its per-doc bigram tf table against
+    the count tables on (w1, w2) and w1/w2 — count tables are
+    vocabulary-sized, far below corpus size, and Spark picks
+    broadcast vs shuffle join by their actual size. Output:
+    (doc_id, n_bigrams, nll_e6, avg_nll_e6) for split == 'test' docs."""
+    base = df.select(
+        "doc_id", F.col(split_col).alias("_sp"), words(text_col).alias("_w")
+    )
+    pair = F.zip_with(
+        F.slice(F.col("_w"), F.lit(1), F.size("_w") - 1),
+        F.slice(F.col("_w"), F.lit(2), F.size("_w") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = base.select("doc_id", "_sp", F.explode(pair).alias("bg")).select(
+        "doc_id", "_sp", "bg.w1", "bg.w2"
+    )
+    c12 = (
+        big.filter(F.col("_sp") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        base.filter(F.col("_sp") == "train")
+        .select(F.explode("_w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("long").alias("n_train"))
+    tf = (
+        big.filter(F.col("_sp") == "test")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    s = F.when(
+        F.col("c12").isNotNull(), F.col("c12") / F.col("c1")
+    ).otherwise(
+        F.lit(alpha)
+        * (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+        / (F.col("n_train") + F.lit(1))
+    )
+    q = F.floor(-F.log(s) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        tf.join(c12, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(q * F.col("tf")).alias("nll_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_e6",
+            F.floor(F.col("nll_e6") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("avg_nll_e6"),
+        )
+    )

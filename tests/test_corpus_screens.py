@@ -245,3 +245,55 @@ def test_bloom_decontaminate_no_false_negatives(spark):
         shared_by_doc[r.train_doc] = shared_by_doc.get(r.train_doc, 0) + r.n_shared
     for d, s in shared_by_doc.items():
         assert bloom[d].n_maybe >= min(s, bloom[d].n_shingles)
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from sits_classification_spark.operators.text import bigram_logprob
+
+    train = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "the cat ate the fish",
+    ]
+    test = [
+        "the cat sat on the log",      # all-seen bigrams
+        "the zebra sat on the mat",    # OOV word -> backoff path
+    ]
+    rows = [Row(doc_id=i, split="train", text=t) for i, t in enumerate(train)]
+    rows += [Row(doc_id=100 + i, split="test", text=t) for i, t in enumerate(test)]
+    out = {r.doc_id: r for r in bigram_logprob(
+        spark.createDataFrame(rows), split_col="split").collect()}
+
+    # python reference (same quantization)
+    toks = [t.split() for t in train]
+    c12, c1 = {}, {}
+    for ws in toks:
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    n = sum(c1.values())
+
+    def score(t):
+        ws = t.split()
+        q = 0
+        cnt = 0
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in c12:
+                s = c12[(a, b)] / c1[a]
+            else:
+                s = 0.4 * (c1.get(b, 0) + 1) / (n + 1)
+            q += math.floor(-math.log(s) * 1e6 + 0.5)
+            cnt += 1
+        return cnt, q, math.floor(q / cnt)
+
+    for i, t in enumerate(test):
+        cnt, q, avg = score(t)
+        r = out[100 + i]
+        assert (r.n_bigrams, r.nll_e6, r.avg_nll_e6) == (cnt, q, avg), t
+    # the OOV doc must score strictly worse than the in-domain one
+    assert out[101].avg_nll_e6 > out[100].avg_nll_e6
