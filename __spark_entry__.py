@@ -1464,6 +1464,15 @@ def q_unigram_logprob(spark, sf):
     return unigram_logprob(_read(spark, sf, "documents"))
 
 
+def q_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy per doc (gibberish/spam
+    screen): run-length fold over the sorted char array, per-run c*ln(c)
+    quantized to int micro-nats as it retires — zero shuffles, engine-exact."""
+    from sits_classification_spark.operators.text import char_entropy
+
+    return char_entropy(_read(spark, sf, "documents"))
+
+
 def q_bigram_logprob(spark, sf):
     """Cross-split bigram LM with stupid backoff (Brants et al. 2007; the
     CCNet-style quality screen): counts trained on the stratified TRAIN
@@ -1983,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "char_entropy": q_char_entropy,
         "contamination": q_contamination,
         "contamination_bloom": q_contamination_bloom,
         "media_features": q_media_features,
@@ -3768,6 +3778,24 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "unigram_logprob": _UNIGRAM_ORACLE,
         "bigram_logprob": _BIGRAM_ORACLE,
+        "char_entropy": """
+            WITH ch AS (SELECT doc_id, text[i:i] AS c
+                        FROM documents,
+                             unnest(range(1, length(text) + 1)) AS t(i)),
+            cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+            s AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN cnt > 1
+                              THEN CAST(floor(cnt * ln(cnt) * 1000000 + 0.5)
+                                        AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(cnt) AS BIGINT) AS n
+                  FROM cc GROUP BY doc_id)
+            SELECT doc_id, n AS n_chars_t, k AS n_distinct_chars,
+                   CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)
+                     - CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS ent_e6
+            FROM s
+        """,
         "contamination": _CONTAM_ORACLE,
         "contamination_bloom": _CONTAM_BLOOM_ORACLE,
         "media_features": """

@@ -118,6 +118,7 @@ HEADLINE = [
     "session_stats",
     "hll_distinct",
     "repetition",
+    "char_entropy",
     "pii_scrub",
     "heavy_hitters",
     "source_cap",

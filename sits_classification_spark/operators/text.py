@@ -714,3 +714,71 @@ def bigram_logprob(
             .alias("avg_nll_e6"),
         )
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the character distribution — the classic
+    gibberish / binary-spam / encoding-junk screen (low entropy = repeated
+    filler, high = random bytes; natural language sits in a narrow band).
+
+    Identity: H = ln(n) - (1/n)·Σ_c c·ln(c) over per-character counts c.
+    The count terms come from a RUN-LENGTH fold over the sorted character
+    array — zero shuffles, the whole metric runs inside the scan stage.
+    Each run's c·ln(c) is quantized to int micro-units as it retires, so
+    the accumulated sum is int64 and independent of both summation order
+    and engine (the DuckDB oracle computes the same quantized terms from
+    an explode + group-by — different plan, identical integers).
+
+    Output: (doc_id, n_chars_t, n_distinct_chars, ent_e6) with
+    ent_e6 = floor(ln(n)·1e6 + 0.5) - floor(S/n) in micro-nats."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+    srt = F.array_sort(chars)
+
+    def q_term(run: Column) -> Column:
+        return F.when(
+            run > 1,
+            F.floor(
+                run.cast("double") * F.log(run.cast("double")) * 1000000
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("k"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["s"]).otherwise(acc["s"] + q_term(acc["run"])).alias("s"),
+            F.when(same, acc["k"]).otherwise(acc["k"] + 1).alias("k"),
+        )
+
+    fold = F.aggregate(
+        srt,
+        zero,
+        step,
+        lambda acc: F.struct(
+            (acc["s"] + q_term(acc["run"])).alias("s"), acc["k"].alias("k")
+        ),
+    )
+    staged = df.select(
+        "doc_id", F.size(chars).alias("n_chars_t"), fold.alias("_f")
+    )
+    n = F.col("n_chars_t").cast("double")
+    ent = F.when(
+        F.col("n_chars_t") > 0,
+        F.floor(F.log(n) * 1000000 + F.lit(0.5)).cast("long")
+        - F.floor(F.col("_f.s") / F.col("n_chars_t")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return staged.select(
+        "doc_id",
+        F.col("n_chars_t").cast("long").alias("n_chars_t"),
+        F.col("_f.k").alias("n_distinct_chars"),
+        ent.alias("ent_e6"),
+    )

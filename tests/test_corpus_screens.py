@@ -297,3 +297,36 @@ def test_bigram_logprob_matches_python_reference(spark):
         assert (r.n_bigrams, r.nll_e6, r.avg_nll_e6) == (cnt, q, avg), t
     # the OOV doc must score strictly worse than the in-domain one
     assert out[101].avg_nll_e6 > out[100].avg_nll_e6
+
+
+def test_char_entropy_reference_values(spark):
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from sits_classification_spark.operators.text import char_entropy
+
+    rows = [
+        Row(doc_id=1, text="aaaaaaaa"),            # zero entropy
+        Row(doc_id=2, text="abcdefgh"),            # max entropy ln(8)
+        Row(doc_id=3, text="hello world entropy"),
+        Row(doc_id=4, text=""),                    # empty: zeros, no crash
+    ]
+    out = {r.doc_id: r for r in char_entropy(spark.createDataFrame(rows)).collect()}
+
+    def ref(t):
+        c = Counter(t)
+        n = len(t)
+        if n == 0:
+            return 0, 0, 0
+        s = sum(math.floor(v * math.log(v) * 1e6 + 0.5) for v in c.values() if v > 1)
+        return n, len(c), math.floor(math.log(n) * 1e6 + 0.5) - math.floor(s / n)
+
+    for d, t in ((1, "aaaaaaaa"), (2, "abcdefgh"), (3, "hello world entropy"), (4, "")):
+        n, k, e = ref(t)
+        r = out[d]
+        assert (r.n_chars_t, r.n_distinct_chars, r.ent_e6) == (n, k, e), t
+    # quantization leaves at most 1 micro-nat of skew on the extremes
+    assert out[1].ent_e6 <= 1
+    assert abs(out[2].ent_e6 - math.floor(math.log(8) * 1e6 + 0.5)) <= 1
