@@ -1019,14 +1019,41 @@ def q_index_menu(spark, sf):
 
 
 def q_augment_zero_out(spark, sf):
-    """W13 augmentation: seeded random zero-out of valid positions
-    (augmentation.py:212-249) on the synthetic sequences table."""
-    from sits_classification_spark.datagen import generate_spark
-    from sits_classification_spark.operators.augment import random_zero_out
+    """W13 augmentation: zero-out of ~10% of valid positions
+    (augmentation.py:212-249) on the shared fixture sequences — the
+    hash-selected Column-expression variant, so every zeroed CELL is
+    verified bit-for-bit by the DuckDB oracle (the former seeded-RNG form
+    could only be rows-checked; `random_zero_out` remains for the
+    torch-parity shape and is pytest-pinned). Output flattens the array
+    to an order-free per-doc checksum (xor of aug*1000+pos)."""
+    from sits_classification_spark.operators.augment import zero_out_hash
 
-    seq = generate_spark(spark, 300)
-    out = random_zero_out(seq, frac=0.1, seed=2)
-    return out.select("doc_id", "source", "n_tok")
+    path = _ensure_cascade_fixture()
+    seq = spark.read.parquet(path)
+    out = zero_out_hash(seq, frac=0.1)
+    both = out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("tokens").alias("_aug"),
+    ).join(
+        seq.select("doc_id", F.col("tokens").alias("_orig")), "doc_id"
+    )
+    n_zeroed = F.size(
+        F.filter(
+            F.zip_with("_orig", "_aug", lambda a, b: a != b), lambda x: x
+        )
+    )
+    checksum = F.aggregate(
+        F.transform("_aug", lambda x, i: x.cast("long") * 1000 + i),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseXOR(b),
+    )
+    return both.select(
+        "doc_id",
+        "n_tok",
+        n_zeroed.cast("long").alias("n_zeroed"),
+        checksum.alias("checksum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2421,6 +2448,30 @@ def _noise_iter_oracle_sql(above_noise: float = 2.0, max_iter: int = 10) -> str:
     """
 
 
+def _augment_zero_out_oracle_sql() -> str:
+    """Bit-for-bit oracle of the hash-selected zero-out over the fixture
+    sequences: same md5 position rule, same order-free xor checksum."""
+    path = _ensure_cascade_fixture()
+    return f"""
+        WITH seq AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, tokens
+                     FROM read_parquet('{path}')),
+        t AS (SELECT doc_id, n_tok, i - 1 AS pos, tokens[i] AS tok
+              FROM seq, unnest(generate_series(1, len(tokens))) AS u(i)),
+        a AS (SELECT doc_id, n_tok, pos, tok,
+                     CASE WHEN tok <> -9999
+                           AND CAST('0x' || substr(md5(doc_id || ':' ||
+                               CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+                               % 1000000 < 100000
+                          THEN 0 ELSE tok END AS aug
+              FROM t)
+        SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+               CAST(sum(CASE WHEN aug <> tok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zeroed,
+               bit_xor(CAST(aug AS BIGINT) * 1000 + pos) AS checksum
+        FROM a GROUP BY doc_id
+    """
+
+
 def _cascade_monthly_oracle_sql() -> str:
     """SQL re-derivation of the cascade's raw -> 10-day -> monthly tiers
     from the shared fixture parquet: decode token position k to day k*3,
@@ -3368,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
             coef_round=3,
         ),
         "cascade_monthly": _cascade_monthly_oracle_sql(),
+        "augment_zero_out": _augment_zero_out_oracle_sql(),
         "retention_monthly": f"""
             SELECT * FROM ({_cascade_monthly_oracle_sql()})
             WHERE bucket >= 197006

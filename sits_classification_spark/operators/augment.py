@@ -218,3 +218,40 @@ def compose_augmentations(
         return out
 
     return _apply(df, fn)
+
+
+def zero_out_hash(df: DataFrame, frac: float = 0.1) -> DataFrame:
+    """Hash-selected zero-out — the Column-expression twin of
+    `random_zero_out`: a VALID position k of doc d is zeroed iff
+    md5_60(d:k) mod 1e6 < frac·1e6. Same augmentation contract
+    ("zero ~frac of valid positions, reproducibly"), but the selection is
+    pure integer math instead of a seeded RNG stream, which buys two
+    things the numpy variant can't give: (1) the decision is per-POSITION,
+    so re-partitioning / task retries / speculative execution can never
+    change it (the RNG variant is per-doc reproducible only because the
+    whole doc re-runs); (2) a SQL oracle can verify every zeroed cell
+    bit-for-bit. Stays entirely in whole-stage codegen — no Arrow batch,
+    no Python."""
+    from pyspark.sql import functions as F
+
+    from sits_classification_spark.datagen import NODATA
+    from sits_classification_spark.operators.text import word_hash60
+
+    thr = int(frac * 1_000_000)
+    aug = F.transform(
+        F.col("tokens"),
+        lambda x, i: F.when(
+            (x != F.lit(NODATA))
+            & (
+                F.pmod(
+                    word_hash60(
+                        F.concat_ws(":", F.col("doc_id"), i.cast("string"))
+                    ),
+                    F.lit(1_000_000),
+                )
+                < F.lit(thr)
+            ),
+            F.lit(0),
+        ).otherwise(x),
+    )
+    return df.withColumn("tokens", aug)

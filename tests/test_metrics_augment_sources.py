@@ -236,3 +236,43 @@ def test_compose_augmentations_deterministic_and_varied(spark):
     assert changed > 50 and untouched > 5  # probabilistic mix of ops
     c = compose_augmentations(seq, seed=12).orderBy("doc_id").collect()
     assert [r["tokens"] for r in a] != [r["tokens"] for r in c]
+
+
+def test_zero_out_hash_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sits_classification_spark.datagen import NODATA, generate_spark
+    from sits_classification_spark.operators.augment import zero_out_hash
+
+    seq = generate_spark(spark, 400)
+    out = zero_out_hash(seq, frac=0.1)
+    both = out.select("doc_id", F.col("tokens").alias("a")).join(
+        seq.select("doc_id", F.col("tokens").alias("o")), "doc_id"
+    )
+    stats = both.select(
+        F.size(F.filter(F.zip_with("o", "a", lambda x, y: x != y), lambda z: z)).alias("nz"),
+        F.size(F.filter("o", lambda x: x != F.lit(NODATA))).alias("nv"),
+        # sentinel positions must be untouched, zeroed cells must be 0
+        F.size(
+            F.filter(
+                F.zip_with("o", "a", lambda x, y: (x == F.lit(NODATA)) & (y != F.lit(NODATA))),
+                lambda z: z,
+            )
+        ).alias("bad_sentinel"),
+        F.size(
+            F.filter(
+                F.zip_with("o", "a", lambda x, y: (x != y) & (y != F.lit(0))),
+                lambda z: z,
+            )
+        ).alias("bad_zero"),
+    ).agg(
+        F.sum("nz").alias("nz"), F.sum("nv").alias("nv"),
+        F.sum("bad_sentinel").alias("bs"), F.sum("bad_zero").alias("bz"),
+    ).collect()[0]
+    assert stats.bs == 0 and stats.bz == 0
+    rate = stats.nz / stats.nv
+    assert 0.07 < rate < 0.13  # ~10% of valid positions
+    # per-position determinism across runs
+    a = sorted(map(str, zero_out_hash(seq, frac=0.1).collect()))
+    b = sorted(map(str, zero_out_hash(seq, frac=0.1).collect()))
+    assert a == b
