@@ -1,0 +1,28 @@
+"""Driver-contract hygiene: every registered query has an oracle unless it
+is consciously engine-native, and the bench headline only names real
+queries. Pure-python — no Spark session."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_every_query_is_oracled_or_consciously_native():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    # every oracle belongs to a registered query
+    assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+    # the ONLY query allowed to skip the oracle is the Gorilla bit-packing
+    # round-trip (engine-native compression, no ANSI-SQL equivalent);
+    # adding a new rows-only query must be a conscious decision here
+    assert set(qs) - set(osql) == {"gorilla_roundtrip"}
+
+
+def test_bench_headline_names_real_queries():
+    import __spark_entry__ as e
+    import bench
+
+    qs = set(e.queries())
+    assert set(bench.HEADLINE) <= qs, sorted(set(bench.HEADLINE) - qs)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
