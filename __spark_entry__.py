@@ -1662,6 +1662,30 @@ def q_pii_scrub(spark, sf):
     )
 
 
+_CM_PROBE_TERMS = (
+    "the", "a", "table", "value", "key", "row", "scan", "fast", "data", "zzzz",
+)
+
+
+def q_cm_counts(spark, sf):
+    """Count-Min sketch term-frequency estimates (Cormode & Muthukrishnan
+    2005): d=4 x width=1024 cells built over every corpus token, point
+    queries for a fixed probe set (incl. one unseen term) — bounded-size
+    frequency accounting with est >= true; md5-derived rows keep the
+    sketch engine-reproducible."""
+    from sits_classification_spark.operators.sketch import cm_estimate, count_min
+    from sits_classification_spark.operators.text import words
+
+    toks = _read(spark, sf, "documents").select(
+        F.explode(words("text")).alias("term")
+    )
+    sk = count_min(toks, width=1024)
+    probe = spark.createDataFrame(
+        [(t,) for t in _CM_PROBE_TERMS], "term string"
+    )
+    return cm_estimate(sk, probe, width=1024)
+
+
 def q_heavy_hitters(spark, sf):
     """Corpus top-10 terms via distributed Misra-Gries (k=64 counters per
     partition, mergeable-summaries shrink); exact — and oracle-checkable —
@@ -2031,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "pii_scrub": q_pii_scrub,
         "heavy_hitters": q_heavy_hitters,
+        "cm_counts": q_cm_counts,
         "source_cap": q_source_cap,
         "length_quantiles": q_length_quantiles,
         "dup_spans": q_dup_spans,
@@ -3869,6 +3894,30 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "session_stats": _SESSION_ORACLE,
         "hll_distinct": _hll_oracle_sql(),
+        "cm_counts": f"""
+            WITH tok AS (SELECT unnest({_WORDS}) AS term FROM documents),
+            th AS (SELECT CAST('0x' || substr(md5(term), 1, 7) AS BIGINT)
+                          % 2147483647 AS h FROM tok),
+            cells AS (SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest([0, 1, 2, 3]) AS row,
+                       unnest([((h*7+3) % 2147483647) % 1024,
+                               ((h*11+5) % 2147483647) % 1024,
+                               ((h*13+17) % 2147483647) % 1024,
+                               ((h*19+23) % 2147483647) % 1024]) AS col
+                FROM th) GROUP BY row, col),
+            pr AS (SELECT term, unnest([0, 1, 2, 3]) AS row,
+                          unnest([((h*7+3) % 2147483647) % 1024,
+                                  ((h*11+5) % 2147483647) % 1024,
+                                  ((h*13+17) % 2147483647) % 1024,
+                                  ((h*19+23) % 2147483647) % 1024]) AS col
+                   FROM (SELECT term,
+                                CAST('0x' || substr(md5(term), 1, 7) AS BIGINT)
+                                % 2147483647 AS h
+                         FROM (VALUES {", ".join(f"('{t}')" for t in _CM_PROBE_TERMS)})
+                              AS v(term)))
+            SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+            FROM pr LEFT JOIN cells USING (row, col) GROUP BY term
+        """,
         "repetition": f"""
             WITH base AS (SELECT doc_id, {_WORDS} AS w FROM documents),
             tok AS (SELECT doc_id, unnest(w) AS term,

@@ -121,6 +121,7 @@ HEADLINE = [
     "char_entropy",
     "pii_scrub",
     "heavy_hitters",
+    "cm_counts",
     "source_cap",
     "length_quantiles",
     "media_features",

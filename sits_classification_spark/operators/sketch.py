@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 
 from sits_classification_spark.operators.text import word_hash60
 
+MERSENNE31 = 2_147_483_647
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -183,3 +185,78 @@ def heavy_hitters(
     summaries = toks.mapInPandas(mg, "term string, cnt long")
     merged = summaries.groupBy("term").agg(F.sum("cnt").alias("count_lb"))
     return merged.orderBy(F.desc("count_lb"), F.asc("term")).limit(topn)
+
+
+CM_PARAMS = ((7, 3), (11, 5), (13, 17), (19, 23))  # d=4 row derivations
+
+
+def count_min(
+    df: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+) -> DataFrame:
+    """Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005) over a
+    term stream — the bounded-size frequency table for corpus accounting:
+    where an exact term-frequency table is vocabulary-sized (unbounded),
+    the sketch is d·width cells regardless of vocabulary, merges by cell
+    addition (map-side combinable), and answers point queries with
+    est >= true and est <= true + eps·N (eps = e/width) w.h.p.
+
+    Like the HLL and the bloom filter, the row hashes are md5-derived
+    integer math — ((h28·a + b) mod M31) mod width — so the cell table and
+    every estimate are bit-reproducible in any engine with md5 (Spark's
+    built-ins have no CM at all).
+
+    Returns the cell table (row int, col long, cnt long) — d·width rows
+    max. Plan: one explode-free pass (the caller provides the term rows),
+    d projected positions per term via a posexplode of a 4-element array,
+    then ONE hash aggregate."""
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col(term_col)), 1, 7), 16, 10).cast("long"),
+        F.lit(MERSENNE31),
+    )
+    cols = F.array(
+        *[
+            F.pmod(
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31)),
+                F.lit(width),
+            )
+            for a, b in CM_PARAMS
+        ]
+    )
+    return (
+        df.select(F.posexplode(cols).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, terms: DataFrame, term_col: str = "term", width: int = 1024
+) -> DataFrame:
+    """Point-query the Count-Min sketch for a set of terms: est(term) =
+    min over the d rows of the addressed cell. The sketch (<= d·width
+    rows) broadcasts; the probe is d broadcast lookups per term."""
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col(term_col)), 1, 7), 16, 10).cast("long"),
+        F.lit(MERSENNE31),
+    )
+    probes = terms.select(
+        term_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31)),
+                        F.lit(width),
+                    )
+                    for a, b in CM_PARAMS
+                ]
+            )
+        ).alias("row", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(term_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
