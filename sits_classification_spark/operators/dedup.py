@@ -392,24 +392,31 @@ def dup_spans(
     span of m >= L dup tokens contributes m-L+1 consecutive dup L-gram
     starts, and any maximal run [p0, p1] of dup starts expands to the span
     [p0, p1+L-1]). A suffix array is sequential and memory-bound at corpus
-    scale; this is three window/agg steps over TWO shuffles: hash every
-    L-gram (one posexplode, the O(L·n) zip shingler), corpus-wide
-    occurrence count per hash via a window riding the gram exchange, keep
-    positions with count >= 2, then merge consecutive positions per doc
-    with the gaps-and-islands trick (pos - row_number() is constant within
-    a run). No pair generation ever happens — a gram shared by a million
-    docs costs a count, not a million-squared join — so there is no hot-key
-    blowup to cap.
+    scale; this is agg + join + window: hash every L-gram (one posexplode,
+    the O(L·n) zip shingler), corpus-wide occurrence count per hash via a
+    groupBy(h) HASH-AGGREGATE — map-side partial aggregation absorbs a hot
+    gram before the exchange, so a boilerplate span duplicated across
+    millions of docs (license headers, templated pages — the normal web
+    corpus case, and exactly what Lee et al. dedup targets) costs each map
+    task one counter, never a single-task window partition — join the
+    count>=2 hash set back onto the gram stream (AQE's skew-join splits the
+    probe side of a hot hash; the build row per key is 1), then merge
+    consecutive positions per doc with the gaps-and-islands trick
+    (pos - row_number() is constant within a run). No pair generation ever
+    happens — a gram shared by a million docs costs a count, not a
+    million-squared join — so there is no hot-key blowup to cap.
 
     Output: (doc_id, span_start, span_end, span_len), 0-based inclusive
     token indices, span_len = span_end - span_start + 1 >= min_len.
     """
     grams = _gram_starts(df, min_len, text_col)
-    dup = (
-        grams.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= 2)
-        .select("doc_id", "pos")
+        .select("h")
     )
+    dup = grams.join(dup_h, "h").select("doc_id", "pos")
     run = F.col("pos") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")
     )
@@ -462,33 +469,41 @@ def dup_span_removal(
     a removable gram overlap, the overlap tokens go, which may trim a few
     tokens beyond the strictly-necessary cut at region boundaries).
 
-    Plan: the same two-exchange skeleton as dup_spans (gram-hash window for
-    counts + canonical occurrence, doc window for the island merge), then
-    the per-doc removable intervals join back onto the corpus and the token
-    filter runs as pure array lambdas inside the post-join projection — no
-    token-level explode, no third shuffle for the rebuild.
+    Plan: the same agg-join-window skeleton as dup_spans — a groupBy(h)
+    hash-aggregate computes each duplicated gram's count AND its canonical
+    occurrence in one pass (min over struct(doc_id, pos) = lexicographic
+    min, exactly the min-doc-then-min-pos-within-it rule; partial
+    aggregation absorbs hot grams map-side, so a million-doc boilerplate
+    gram never serializes into one window partition), the >= 2 set joins
+    back onto the gram stream (AQE skew-join splits a hot probe partition;
+    one build row per key), the doc-partitioned island merge windows stay,
+    then the per-doc removable intervals join back onto the corpus and the
+    token filter runs as pure array lambdas inside the post-join
+    projection — no token-level explode, no extra shuffle for the rebuild.
 
     Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input doc
     (n_removed = 0 rows pass through with their tokens rejoined by single
     spaces — the tokenizer's canonical whitespace)."""
     grams = _gram_starts(df, min_len, text_col)
-    wh = Window.partitionBy("h")
-    g1 = grams.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.count(F.lit(1)).over(wh).alias("_c"),
-        F.min("doc_id").over(wh).alias("_cdoc"),
+    canon = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct("doc_id", "pos")).alias("_canon"),
+        )
+        .filter(F.col("_c") >= 2)
+        .select("h", "_canon")
     )
-    # canonical pos needs the min over a window result -> staged projection
-    g2 = g1.withColumn(
-        "_cpos",
-        F.min(F.when(F.col("doc_id") == F.col("_cdoc"), F.col("pos"))).over(wh),
+    removable = (
+        grams.join(canon, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_canon.doc_id"))
+                & (F.col("pos") == F.col("_canon.pos"))
+            )
+        )
+        .select("doc_id", "pos")
     )
-    removable = g2.filter(
-        (F.col("_c") >= 2)
-        & ~((F.col("doc_id") == F.col("_cdoc")) & (F.col("pos") == F.col("_cpos")))
-    ).select("doc_id", "pos")
     run = F.col("pos") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")
     )

@@ -565,9 +565,12 @@ def bloom_decontaminate(
     it bit-for-bit: shingle -> 28-bit md5 hash h, k=3 bit positions
     ((h*a + b) mod M31) mod m (overflow-safe in int64 because h < 2^28).
     The set-bit table (<= k * |test shingles| rows — the filter's
-    popcount, NOT the corpus size) is broadcast, and the probe is three
-    broadcast-hash lookups per train shingle: map-only over the big side,
-    no train-side shuffle until the final per-doc aggregate.
+    popcount, NOT the corpus size) is broadcast ONCE, and the probe stacks
+    all k positions of a train shingle into one exploded (doc, shingle,
+    pos) stream joined once against it — map-only over the big side, one
+    derivation of the bit table instead of k sequential joins over k
+    renames of it — then a (doc, shingle) partial aggregate keeps shingles
+    whose k probes all matched, and a per-doc aggregate finishes.
 
     Output, one row per train doc: n_shingles, n_maybe (shingles whose k
     bits are all set), flagged. GUARANTEE: no false negatives — every
@@ -608,26 +611,28 @@ def bloom_decontaminate(
     k = len(BLOOM_POS_PARAMS)
     bits = (
         sh.filter(F.col("sp") == "test")
-        .select(F.explode(F.array(*[pos(i) for i in range(k)])).alias("pos"))
+        .select(F.explode(F.array(*[pos(i) for i in range(k)])).alias("bpos"))
         .distinct()
+        .withColumn("_set", F.lit(1))
     )
     probe = sh.filter(F.col("sp") == "train").select(
-        "doc_id", *[pos(i).alias(f"p{i}") for i in range(k)]
+        "doc_id",
+        "h",
+        F.explode(F.array(*[pos(i) for i in range(k)])).alias("p"),
     )
-    for i in range(k):
-        b = bits.withColumnRenamed("pos", f"b{i}")
-        probe = probe.join(
-            F.broadcast(b), F.col(f"p{i}") == F.col(f"b{i}"), "left"
-        )
-    hit = F.lit(True)
-    for i in range(k):
-        hit = hit & F.col(f"b{i}").isNotNull()
+    # one broadcast join for all k probes; a duplicate position within a
+    # shingle's k-array matches its bit row once per occurrence (bits is
+    # distinct), so sum(_set) == k still means "every probe hit"
+    per_shingle = (
+        probe.join(F.broadcast(bits), probe["p"] == bits["bpos"], "left")
+        .groupBy("doc_id", "h")
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_nm"))
+    )
     return (
-        probe.select("doc_id", hit.alias("_hit"))
-        .groupBy("doc_id")
+        per_shingle.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.col("_hit").cast("long")).alias("n_maybe"),
+            F.sum((F.col("_nm") == k).cast("long")).alias("n_maybe"),
         )
         .withColumn("flagged", F.col("n_maybe") >= 1)
     )

@@ -56,6 +56,47 @@ def test_dup_spans_min_len_longer_than_match(spark, span_docs):
     assert dup_spans(span_docs, min_len=13).count() == 0
 
 
+def _window_partition_keys(df):
+    """Partition-key names of every Window node in the optimized plan."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return re.findall(r"windowspecdefinition\(([A-Za-z_]\w*)#", plan)
+
+
+def test_dup_spans_hot_gram_no_skewed_window(spark):
+    """A gram present in 60% of docs (boilerplate — the Lee et al. target
+    case) must not serialize into a single window partition: the occurrence
+    count is a groupBy(h) partial aggregate, and the only windows left in
+    the plan are the per-doc island merges."""
+    from sits_classification_spark.operators.dedup import dup_span_removal
+
+    boiler = " ".join(f"b{i}" for i in range(50))
+    rows = []
+    for d in range(40):
+        uniq = " ".join(f"d{d}w{i}" for i in range(20))
+        text = uniq + " " + boiler if d < 24 else uniq
+        rows.append(Row(doc_id=d, text=text))
+    df = spark.createDataFrame(rows)
+
+    spans = dup_spans(df, min_len=50)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_len) for r in spans.collect()}
+    assert got == {(d, 20, 69, 50) for d in range(24)}
+    keys = _window_partition_keys(spans)
+    assert keys and all(k == "doc_id" for k in keys), keys
+
+    removal = dup_span_removal(df, min_len=50)
+    out = {r.doc_id: r for r in removal.collect()}
+    assert out[0].n_removed == 0  # doc 0 is the canonical occurrence
+    for d in range(1, 24):
+        assert out[d].n_removed == 50
+        assert out[d].clean_text == " ".join(f"d{d}w{i}" for i in range(20))
+    for d in range(24, 40):
+        assert out[d].n_removed == 0
+    keys = _window_partition_keys(removal)
+    assert keys and all(k == "doc_id" for k in keys), keys
+
+
 # ---------------------------------------------------------------------------
 # cusum_breaks
 # ---------------------------------------------------------------------------
