@@ -1018,6 +1018,69 @@ def q_index_menu(spark, sf):
     )
 
 
+def q_index_menu_full(spark, sf):
+    """C1 closure: the TSA INDEX menu names (TSA.prm:179-183) whose
+    formulas the reference never spells out, implemented from their
+    published literature definitions (NDTI, ARVI/SARVI/SAVI, the Huang
+    2002 tasseled-cap triplet + Healey 2005 DI, NDBI, MNDWI, NDMI, NDSI,
+    kNDVI, the red-edge family, CCI — citations in functions/scalar.py).
+    With q_index_menu's reference-spelled nine, every menu name is covered
+    except SMA (spectral unmixing against a user-supplied endmember
+    matrix, TSA.prm:194+ — an input, not a formula). Bands synthesized
+    from lineitem in reflectance-like ranges; e4 quantization; the ARVI
+    denominator guard uses identical text on both engines."""
+    from sits_classification_spark.functions import scalar as X
+
+    li = _read(spark, sf, "lineitem")
+    blue = F.col("l_quantity") / 60.0
+    green = F.col("l_discount") + 0.05
+    red = F.col("l_tax") + 0.03
+    nir = F.col("l_extendedprice") / 120000.0
+    bnir = F.col("l_extendedprice") / 150000.0
+    re1 = F.col("l_quantity") / 80.0 + 0.02
+    re2 = F.col("l_quantity") / 70.0 + 0.03
+    re3 = F.col("l_quantity") / 60.0 + 0.04
+    swir1 = F.col("l_quantity") / 100.0 + 0.01
+    swir2 = F.col("l_discount") + 0.01
+    rb = 2.0 * red - blue
+    tc = (blue, green, red, nir, swir1, swir2)
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+    return li.filter(
+        (F.abs(nir + rb) > 0.05) & (nir + rb + 0.5 > 0.05)
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        q4(X.ndti(swir1, swir2)).alias("ndti_e4"),
+        q4(X.arvi(nir, red, blue)).alias("arvi_e4"),
+        q4(X.savi(nir, red)).alias("savi_e4"),
+        q4(X.sarvi(nir, red, blue)).alias("sarvi_e4"),
+        q4(X.tc_component("bright", *tc)).alias("tcb_e4"),
+        q4(X.tc_component("green", *tc)).alias("tcg_e4"),
+        q4(X.tc_component("wet", *tc)).alias("tcw_e4"),
+        q4(X.tc_di(*tc)).alias("tcdi_e4"),
+        q4(X.ndbi(swir1, nir)).alias("ndbi_e4"),
+        q4(X.mndwi(green, swir1)).alias("mndwi_e4"),
+        q4(X.ndmi(nir, swir1)).alias("ndmi_e4"),
+        q4(X.ndsi(green, swir1)).alias("ndsi_e4"),
+        q4(X.kndvi(nir, red)).alias("kndvi_e4"),
+        q4(X.ndre1(re2, re1)).alias("ndre1_e4"),
+        q4(X.ndre2(re3, re1)).alias("ndre2_e4"),
+        q4(X.cire(re3, re1)).alias("cire_e4"),
+        q4(X.ndvire(nir, re1)).alias("ndvire1_e4"),
+        q4(X.ndvire(nir, re2)).alias("ndvire2_e4"),
+        q4(X.ndvire(nir, re3)).alias("ndvire3_e4"),
+        q4(X.ndvire(bnir, re1)).alias("ndvire1n_e4"),
+        q4(X.ndvire(bnir, re2)).alias("ndvire2n_e4"),
+        q4(X.ndvire(bnir, re3)).alias("ndvire3n_e4"),
+        q4(X.msrre(nir, re1)).alias("msrre_e4"),
+        q4(X.msrre(bnir, re1)).alias("msrren_e4"),
+        q4(X.cci(green, red)).alias("cci_e4"),
+    )
+
+
 def q_augment_zero_out(spark, sf):
     """W13 augmentation: zero-out of ~10% of valid positions
     (augmentation.py:212-249) on the shared fixture sequences — the
@@ -1584,6 +1647,193 @@ def q_media_frames(spark, sf):
     return out.select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
 
 
+def q_media_decode(spark, sf):
+    """REAL (dependency-free) media decode through the byte-bounded Arrow
+    pipeline: per doc, a deterministic uncompressed 24-bit BMP (even
+    doc_id) or PCM16 WAV (odd) is synthesized from closed-form byte
+    formulas, decoded by the pure-python container parsers
+    (multimodal.decode_media — actual header walk + numpy pixel/sample
+    stats, not a fake), and the typed feature vector is checked against a
+    DuckDB oracle that re-derives every statistic from the same closed
+    forms. Closes the decoder seam: the NotImplementedError path is gone
+    for the containers a no-codec environment can honestly parse."""
+    import pandas as pd
+
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        synth_bmp,
+        synth_wav,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = [
+                synth_bmp(i, 4 + i % 5, 3 + i % 4)
+                if i % 2 == 0
+                else synth_wav(i, 50 + i % 20)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"m{i}" for i in ids],
+                    "kind": ["image" if i % 2 == 0 else "audio" for i in ids],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(
+        build, "media_id string, kind string, payload binary, n_bytes long"
+    )
+    feats = extract_features(media, decoder=decode_media)
+    cols = [
+        F.element_at("feature", i + 1).cast("long").alias(f"f{i}")
+        for i in range(9)
+    ]
+    return feats.select("media_id", "kind", *cols)
+
+
+def q_stream_fold_equiv(spark, sf):
+    """Streaming/batch twin CONTRACT as a driver row: run the streaming
+    10-day fold (file source, availableNow, complete mode) and the
+    identical batch plan over the same events, round the float aggregate
+    at 6 (the twins agg in different partial orders), and return the
+    symmetric exceptAll diff — EXPECTED EMPTY. The oracle is the matching
+    empty relation, so rows+schema+hash pass iff the twins agree row-for-
+    row on every bucket."""
+    from sits_classification_spark.streaming.rollup import run_file_stream_once
+
+    src = f"{sf}/events.parquet"
+    stream = run_file_stream_once(
+        spark, src, query_name="fold_equiv_stream", window="10 days"
+    )
+    batch = (
+        spark.read.parquet(src)
+        .dropDuplicates(["user_id", "event_id"])
+        .groupBy(F.window("ts", "10 days").alias("w"), "user_id")
+        .agg(F.avg("value").alias("value"), F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "value",
+            "n_obs",
+        )
+    )
+
+    def norm(df):
+        return df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.unix_timestamp(F.col("bucket_start").cast("timestamp")).alias(
+                "bucket_start"
+            ),
+            F.unix_timestamp(F.col("bucket_end").cast("timestamp")).alias(
+                "bucket_end"
+            ),
+            F.round("value", 6).alias("value"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+
+    a, b = norm(stream), norm(batch)
+    return a.exceptAll(b).unionAll(b.exceptAll(a))
+
+
+def _event_scores(spark, sf):
+    """Deterministic per-(user, day) standardized scores from events —
+    shared input of the batch/streaming CUSUM twins (min() not first():
+    first() in an agg is order-dependent)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    return (
+        ev.groupBy("user_id", day.alias("day"))
+        .agg(F.min("value").alias("v"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("day").cast("long").alias("day"),
+            ((F.col("v") - 50.0) / 25.0).alias("z"),
+        )
+    )
+
+
+def q_stream_cusum_equiv(spark, sf):
+    """Streaming/batch CUSUM twin contract as a driver row: replay the
+    score stream in 3 day-ordered micro-batches through the
+    applyInPandasWithState detector, take each series' final summary
+    (max cumulative n), and diff against the batch cusum_scores closed
+    form — EXPECTED EMPTY (carry-in reflected-walk identity makes the
+    registers bit-compatible; floats rounded at 6 on both sides)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from sits_classification_spark.operators.stm import cusum_scores
+    from sits_classification_spark.streaming.rollup import (
+        streaming_cusum_scores,
+    )
+
+    scores = _event_scores(spark, sf)
+    batch = cusum_scores(scores, k=0.5, h=3.0, day_col="day", keys=("user_id",))
+
+    stream_dir = os.path.join(
+        tempfile.mkdtemp(prefix="cusum_equiv_"), "src"
+    )
+    rows = scores.orderBy("day", "user_id").collect()
+    n = len(rows)
+    for i in range(3):
+        part = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(
+            part, schema="user_id long, day long, z double"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(
+            stream_dir
+        )
+    stream = (
+        spark.readStream.schema("user_id long, day long, z double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    q = (
+        streaming_cusum_scores(stream, k=0.5, h=3.0)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cusum_equiv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    latest = (
+        spark.sql("SELECT * FROM cusum_equiv_stream")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    def norm(df):
+        return df.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n").cast("long").alias("n"),
+            F.round("s_pos_max", 6).alias("s_pos_max"),
+            F.round("s_neg_max", 6).alias("s_neg_max"),
+            F.col("break_day").cast("long").alias("break_day"),
+            F.col("break_side").cast("int").alias("break_side"),
+        )
+
+    a = norm(latest)
+    b = norm(batch)  # keys=("user_id",): already the twin's column names
+    return a.exceptAll(b).unionAll(b.exceptAll(a))
+
+
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -1687,12 +1937,13 @@ def q_cm_counts(spark, sf):
 
 
 def q_heavy_hitters(spark, sf):
-    """Corpus top-10 terms via distributed Misra-Gries (k=64 counters per
+    """Corpus top-10 terms via distributed Misra-Gries (k=4096 counters per
     partition, mergeable-summaries shrink); exact — and oracle-checkable —
-    whenever per-partition vocabulary < k, which holds at test scale."""
+    whenever per-partition vocabulary < k (fixture vocab ~31, two orders of
+    magnitude of headroom; a shrink logs to stderr if it ever fires)."""
     from sits_classification_spark.operators.sketch import heavy_hitters
 
-    return heavy_hitters(_read(spark, sf, "documents"), k=64, topn=10)
+    return heavy_hitters(_read(spark, sf, "documents"), k=4096, topn=10)
 
 
 def q_source_cap(spark, sf):
@@ -2014,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_last_wins": q_mosaic_last_wins,
         "spectral_index": q_spectral_index,
         "index_menu": q_index_menu,
+        "index_menu_full": q_index_menu_full,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -2047,6 +2299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "contamination_bloom": q_contamination_bloom,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
+        "stream_fold_equiv": q_stream_fold_equiv,
+        "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
         "hash_sample": q_hash_sample,
         "session_stats": q_session_stats,
@@ -3625,6 +3880,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((((bnir - re1)/(bnir + re1))/((bnir - red)/(bnir + red)))*10000 + 0.5) AS BIGINT) AS ccci_e4
             FROM b WHERE abs(bnir - red) > 0.001
         """,
+        "index_menu_full": """
+            WITH b AS (
+                SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                       l_quantity/60.0 AS blue,
+                       l_discount + 0.05 AS green,
+                       l_tax + 0.03 AS red,
+                       l_extendedprice/120000.0 AS nir,
+                       l_extendedprice/150000.0 AS bnir,
+                       l_quantity/80.0 + 0.02 AS re1,
+                       l_quantity/70.0 + 0.03 AS re2,
+                       l_quantity/60.0 + 0.04 AS re3,
+                       l_quantity/100.0 + 0.01 AS swir1,
+                       l_discount + 0.01 AS swir2
+                FROM lineitem),
+            g AS (SELECT *, 2.0*red - blue AS rb FROM b
+                  WHERE abs(nir + (2.0*red - blue)) > 0.05
+                    AND nir + (2.0*red - blue) + 0.5 > 0.05)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(((swir1 - swir2)/(swir1 + swir2))*10000 + 0.5) AS BIGINT) AS ndti_e4,
+                   CAST(floor(((nir - rb)/(nir + rb))*10000 + 0.5) AS BIGINT) AS arvi_e4,
+                   CAST(floor((1.5*(nir - red)/(nir + red + 0.5))*10000 + 0.5) AS BIGINT) AS savi_e4,
+                   CAST(floor((1.5*(nir - rb)/(nir + rb + 0.5))*10000 + 0.5) AS BIGINT) AS sarvi_e4,
+                   CAST(floor((0.0 + 0.3561*blue + 0.3972*green + 0.3904*red + 0.6966*nir + 0.2286*swir1 + 0.1596*swir2)*10000 + 0.5) AS BIGINT) AS tcb_e4,
+                   CAST(floor((0.0 + -0.3344*blue + -0.3544*green + -0.4556*red + 0.6966*nir + -0.0242*swir1 + -0.2630*swir2)*10000 + 0.5) AS BIGINT) AS tcg_e4,
+                   CAST(floor((0.0 + 0.2626*blue + 0.2141*green + 0.0926*red + 0.0656*nir + -0.7629*swir1 + -0.5388*swir2)*10000 + 0.5) AS BIGINT) AS tcw_e4,
+                   CAST(floor(((0.0 + 0.3561*blue + 0.3972*green + 0.3904*red + 0.6966*nir + 0.2286*swir1 + 0.1596*swir2)
+                             - (0.0 + -0.3344*blue + -0.3544*green + -0.4556*red + 0.6966*nir + -0.0242*swir1 + -0.2630*swir2)
+                             - (0.0 + 0.2626*blue + 0.2141*green + 0.0926*red + 0.0656*nir + -0.7629*swir1 + -0.5388*swir2))*10000 + 0.5) AS BIGINT) AS tcdi_e4,
+                   CAST(floor(((swir1 - nir)/(swir1 + nir))*10000 + 0.5) AS BIGINT) AS ndbi_e4,
+                   CAST(floor(((green - swir1)/(green + swir1))*10000 + 0.5) AS BIGINT) AS mndwi_e4,
+                   CAST(floor(((nir - swir1)/(nir + swir1))*10000 + 0.5) AS BIGINT) AS ndmi_e4,
+                   CAST(floor(((green - swir1)/(green + swir1))*10000 + 0.5) AS BIGINT) AS ndsi_e4,
+                   CAST(floor(((exp(2.0*(((nir - red)/(nir + red))*((nir - red)/(nir + red)))) - 1.0)
+                             / (exp(2.0*(((nir - red)/(nir + red))*((nir - red)/(nir + red)))) + 1.0))*10000 + 0.5) AS BIGINT) AS kndvi_e4,
+                   CAST(floor(((re2 - re1)/(re2 + re1))*10000 + 0.5) AS BIGINT) AS ndre1_e4,
+                   CAST(floor(((re3 - re1)/(re3 + re1))*10000 + 0.5) AS BIGINT) AS ndre2_e4,
+                   CAST(floor((re3/re1 - 1.0)*10000 + 0.5) AS BIGINT) AS cire_e4,
+                   CAST(floor(((nir - re1)/(nir + re1))*10000 + 0.5) AS BIGINT) AS ndvire1_e4,
+                   CAST(floor(((nir - re2)/(nir + re2))*10000 + 0.5) AS BIGINT) AS ndvire2_e4,
+                   CAST(floor(((nir - re3)/(nir + re3))*10000 + 0.5) AS BIGINT) AS ndvire3_e4,
+                   CAST(floor(((bnir - re1)/(bnir + re1))*10000 + 0.5) AS BIGINT) AS ndvire1n_e4,
+                   CAST(floor(((bnir - re2)/(bnir + re2))*10000 + 0.5) AS BIGINT) AS ndvire2n_e4,
+                   CAST(floor(((bnir - re3)/(bnir + re3))*10000 + 0.5) AS BIGINT) AS ndvire3n_e4,
+                   CAST(floor(((nir/re1 - 1.0)/sqrt(nir/re1 + 1.0))*10000 + 0.5) AS BIGINT) AS msrre_e4,
+                   CAST(floor(((bnir/re1 - 1.0)/sqrt(bnir/re1 + 1.0))*10000 + 0.5) AS BIGINT) AS msrren_e4,
+                   CAST(floor(((green - red)/(green + red))*10000 + 0.5) AS BIGINT) AS cci_e4
+            FROM g
+        """,
         "screen_pipeline": """
             SELECT event_id, user_id AS doc_id, event_type, value
             FROM events
@@ -3868,10 +4171,16 @@ def oracle_sql() -> dict[str, str]:
                          CAST(count(*) AS BIGINT) AS k,
                          CAST(sum(cnt) AS BIGINT) AS n
                   FROM cc GROUP BY doc_id)
-            SELECT doc_id, n AS n_chars_t, k AS n_distinct_chars,
-                   CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)
-                     - CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS ent_e6
-            FROM s
+            -- LEFT JOIN from documents so an empty-text doc appears with
+            -- zeros, matching the Spark side (which emits a row per doc);
+            -- the unnest(range(..)) produces no rows for length 0
+            SELECT d.doc_id,
+                   COALESCE(s.n, CAST(0 AS BIGINT)) AS n_chars_t,
+                   COALESCE(s.k, CAST(0 AS BIGINT)) AS n_distinct_chars,
+                   COALESCE(CAST(floor(ln(s.n) * 1000000 + 0.5) AS BIGINT)
+                     - CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),
+                     CAST(0 AS BIGINT)) AS ent_e6
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "contamination": _CONTAM_ORACLE,
         "contamination_bloom": _CONTAM_BLOOM_ORACLE,
@@ -3890,6 +4199,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
                    CAST(unnest(generate_series(0, n_chars * 7 - 1, 250)) AS BIGINT) AS frame_ms
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "media_decode": """
+            WITH img AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                         FROM documents WHERE doc_id % 2 = 0),
+            ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM img),
+            xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+            cs AS (SELECT doc_id, w, h, y, x, unnest([0, 1, 2]) AS c FROM xs),
+            px AS (SELECT doc_id, w, h, c,
+                          (doc_id*31 + y*(((w*3+3)//4)*4) + x*3 + c) % 256 AS b
+                   FROM cs),
+            imgf AS (SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                            'image' AS kind,
+                            CAST(max(w) AS BIGINT) AS f0,
+                            CAST(max(h) AS BIGINT) AS f1,
+                            CAST(24 AS BIGINT) AS f2,
+                            CAST(max(w) * max(h) AS BIGINT) AS f3,
+                            CAST(sum(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS f4,
+                            CAST(sum(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS f5,
+                            CAST(sum(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS f6,
+                            CAST(min(b) AS BIGINT) AS f7,
+                            CAST(max(b) AS BIGINT) AS f8
+                     FROM px GROUP BY doc_id),
+            wav AS (SELECT doc_id, 50 + doc_id % 20 AS n
+                    FROM documents WHERE doc_id % 2 = 1),
+            js AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM wav),
+            smp AS (SELECT doc_id, n,
+                           ((doc_id*17 + j*j) % 65536) - 32768 AS s
+                    FROM js),
+            wavf AS (SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                            'audio' AS kind,
+                            CAST(1 AS BIGINT) AS f0,
+                            CAST(8000 AS BIGINT) AS f1,
+                            CAST(16 AS BIGINT) AS f2,
+                            CAST(max(n) AS BIGINT) AS f3,
+                            CAST(sum(abs(s)) AS BIGINT) AS f4,
+                            CAST(max(abs(s)) AS BIGINT) AS f5,
+                            CAST(sum(s) AS BIGINT) AS f6,
+                            CAST(min(s) AS BIGINT) AS f7,
+                            CAST(max(s) AS BIGINT) AS f8
+                     FROM smp GROUP BY doc_id)
+            SELECT * FROM imgf UNION ALL SELECT * FROM wavf
+        """,
+        # the twin-contract queries return a symmetric streaming-vs-batch
+        # diff whose CORRECT value is the empty relation; the oracle is
+        # that empty relation, so the standard rows+schema+hash check
+        # proves the equivalence (a non-empty diff fails rowcount)
+        "stream_fold_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS bucket_start,
+                   CAST(NULL AS BIGINT) AS bucket_end,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS BIGINT) AS n_obs
+            WHERE 1 = 0
+        """,
+        "stream_cusum_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS user_id,
+                   CAST(NULL AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS s_pos_max,
+                   CAST(NULL AS DOUBLE) AS s_neg_max,
+                   CAST(NULL AS BIGINT) AS break_day,
+                   CAST(NULL AS INTEGER) AS break_side
+            WHERE 1 = 0
         """,
         "hash_sample": _hash_sample_oracle_sql(_SAMPLE_RATES),
         "session_stats": _SESSION_ORACLE,
@@ -4030,15 +4401,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cusum_breaks": f"""
             WITH series AS ({_SERIES_SQL}),
+            -- mean-shifted moments, mirroring cusum_breaks' _SHIFT_STATS
+            -- treatment: variance of centered values, exact for |mean|>>std
+            c AS (SELECT doc_id, day,
+                         CAST(value AS DOUBLE)
+                           - avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id) AS c
+                  FROM series),
             z AS (SELECT doc_id, day,
                          CASE WHEN vr <= 0 THEN 0.0
-                              ELSE (v - mean) / sqrt(vr) END AS z
-                  FROM (SELECT doc_id, day, CAST(value AS DOUBLE) AS v,
-                               avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id) AS mean,
-                               avg(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id)
-                                 - avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id)
-                                   * avg(CAST(value AS DOUBLE)) OVER (PARTITION BY doc_id) AS vr
-                        FROM series)),
+                              ELSE (c - m2) / sqrt(vr) END AS z
+                  FROM (SELECT doc_id, day, c,
+                               avg(c) OVER (PARTITION BY doc_id) AS m2,
+                               avg(c * c) OVER (PARTITION BY doc_id)
+                                 - avg(c) OVER (PARTITION BY doc_id)
+                                   * avg(c) OVER (PARTITION BY doc_id) AS vr
+                        FROM c)),
             p AS (SELECT doc_id, day,
                          sum(z - 0.25) OVER (PARTITION BY doc_id ORDER BY day
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,

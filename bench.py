@@ -94,6 +94,7 @@ HEADLINE = [
     "pol_phenology",
     "spl_phenology",
     "index_menu",
+    "index_menu_full",
     "asof_purchase",
     "asof_tolerance_7d",
     "pricing_summary",
@@ -128,6 +129,7 @@ HEADLINE = [
     "source_cap",
     "length_quantiles",
     "media_features",
+    "media_decode",
     "dup_spans",
     "dup_span_removal",
     "cusum_breaks",

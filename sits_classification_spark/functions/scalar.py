@@ -88,6 +88,152 @@ def ccci(bnir: Column, re1: Column, red: Column) -> Column:
     return _nd(bnir, re1) / _nd(bnir, red)
 
 
+# --- C1 remainder: TSA menu names (TSA.prm:179-183) whose formulas are not
+# spelled anywhere in the reference but are standard published indices; each
+# cites its literature source. CLOSURE NOTE: with these, every TSA INDEX
+# menu name is implemented except SMA, which is not a formula — it is a
+# linear spectral unmixing against a user-supplied endmember matrix
+# (TSA.prm:194+) and needs that input to be defined.
+
+def ndti(swir1: Column, swir2: Column) -> Column:
+    """NDTI = (SWIR1-SWIR2)/(SWIR1+SWIR2) — Van Deventer et al. 1997."""
+    return _nd(swir1, swir2)
+
+
+def _arvi_rb(red: Column, blue: Column) -> Column:
+    # RB = RED - gamma*(BLUE - RED) with gamma = 1 (Kaufman & Tanre 1992)
+    return 2.0 * red - blue
+
+
+def arvi(nir: Column, red: Column, blue: Column) -> Column:
+    """ARVI = (NIR-RB)/(NIR+RB), RB = 2*RED-BLUE — Kaufman & Tanre 1992."""
+    return _nd(nir, _arvi_rb(red, blue))
+
+
+def savi(nir: Column, red: Column) -> Column:
+    """SAVI = 1.5*(NIR-RED)/(NIR+RED+0.5) — Huete 1988, L = 0.5."""
+    return 1.5 * (nir - red) / (nir + red + 0.5)
+
+
+def sarvi(nir: Column, red: Column, blue: Column) -> Column:
+    """SARVI = SAVI over the ARVI RB term — Kaufman & Tanre 1992."""
+    rb = _arvi_rb(red, blue)
+    return 1.5 * (nir - rb) / (nir + rb + 0.5)
+
+
+# Tasseled-cap coefficients for at-satellite reflectance, Huang et al. 2002
+# (IJRS 23:8), band order (BLUE, GREEN, RED, NIR, SWIR1, SWIR2)
+TC_COEF = {
+    "bright": (0.3561, 0.3972, 0.3904, 0.6966, 0.2286, 0.1596),
+    "green": (-0.3344, -0.3544, -0.4556, 0.6966, -0.0242, -0.2630),
+    "wet": (0.2626, 0.2141, 0.0926, 0.0656, -0.7629, -0.5388),
+}
+
+
+def tc_component(
+    which: str,
+    blue: Column,
+    green: Column,
+    red: Column,
+    nir: Column,
+    swir1: Column,
+    swir2: Column,
+) -> Column:
+    """TC-BRIGHT / TC-GREEN / TC-WET — Huang et al. 2002 coefficients."""
+    c = TC_COEF[which]
+    bands = (blue, green, red, nir, swir1, swir2)
+    out = F.lit(0.0)
+    for w, b in zip(c, bands):
+        out = out + F.lit(w) * b
+    return out
+
+
+def tc_di(
+    blue: Column,
+    green: Column,
+    red: Column,
+    nir: Column,
+    swir1: Column,
+    swir2: Column,
+) -> Column:
+    """TC-DI disturbance index = BRIGHT - (GREEN + WET) — Healey et al.
+    2005 (components unstandardized: the per-scene standardization is a
+    separate statistics pass, the reference's STANDARDIZE knob)."""
+    args = (blue, green, red, nir, swir1, swir2)
+    return (
+        tc_component("bright", *args)
+        - tc_component("green", *args)
+        - tc_component("wet", *args)
+    )
+
+
+def ndbi(swir1: Column, nir: Column) -> Column:
+    """NDBI = (SWIR1-NIR)/(SWIR1+NIR) — Zha et al. 2003."""
+    return _nd(swir1, nir)
+
+
+def mndwi(green: Column, swir1: Column) -> Column:
+    """MNDWI = (GREEN-SWIR1)/(GREEN+SWIR1) — Xu 2006."""
+    return _nd(green, swir1)
+
+
+def ndmi(nir: Column, swir1: Column) -> Column:
+    """NDMI = (NIR-SWIR1)/(NIR+SWIR1) — Gao 1996 (broad-NIR variant; the
+    reference's own spelled NDWI at dswi_harmonic_tsi.py:109 is the same
+    shape over BNIR)."""
+    return _nd(nir, swir1)
+
+
+def ndsi(green: Column, swir1: Column) -> Column:
+    """NDSI = (GREEN-SWIR1)/(GREEN+SWIR1) — Hall et al. 1995 (same shape
+    as MNDWI; kept as its own menu name)."""
+    return _nd(green, swir1)
+
+
+def kndvi(nir: Column, red: Column) -> Column:
+    """kNDVI = tanh(NDVI^2) — Camps-Valls et al. 2021 (sigma = (NIR+RED)/2
+    closed form). Spelled via exp — (e^{2x}-1)/(e^{2x}+1) — so the SQL
+    oracle can use the identical text (the sandbox DuckDB has no tanh)."""
+    d = _nd(nir, red)
+    e = F.exp(2.0 * (d * d))
+    return (e - 1.0) / (e + 1.0)
+
+
+def ndre1(re2: Column, re1: Column) -> Column:
+    """NDRE1 = (RE2-RE1)/(RE2+RE1) — Gitelson & Merzlyak 1994."""
+    return _nd(re2, re1)
+
+
+def ndre2(re3: Column, re1: Column) -> Column:
+    """NDRE2 = (RE3-RE1)/(RE3+RE1) — Barnes et al. 2000 variant."""
+    return _nd(re3, re1)
+
+
+def cire(re3: Column, re1: Column) -> Column:
+    """CIre = RE3/RE1 - 1 — Gitelson et al. 2003 red-edge chlorophyll
+    index."""
+    return re3 / re1 - 1.0
+
+
+def ndvire(nirish: Column, re_k: Column) -> Column:
+    """NDVIre-k = (NIR-REk)/(NIR+REk); the *n menu variants pass the
+    narrow BNIR instead of broad NIR — Fernandez-Manso et al. 2016."""
+    return _nd(nirish, re_k)
+
+
+def msrre(nirish: Column, re1: Column) -> Column:
+    """MSRre = (NIR/RE1 - 1)/sqrt(NIR/RE1 + 1) — Chen 1996 modified simple
+    ratio on the red edge; MSRren passes BNIR."""
+    r = nirish / re1
+    return (r - 1.0) / F.sqrt(r + 1.0)
+
+
+def cci(green: Column, red: Column) -> Column:
+    """CCI = (GREEN-RED)/(GREEN+RED) — Gamon et al. 2016 chlorophyll/
+    carotenoid index."""
+    return _nd(green, red)
+
+
 # --- C2/C3 scaling ------------------------------------------------------------
 
 def scale_int16(v: Column, factor: int = 1000) -> Column:

@@ -100,7 +100,13 @@ def kmeans_embeddings(
         for r in upd:
             C[r["cell"], r["pos"]] = math.floor(r["av"] * QUANT + 0.5) / QUANT
     a = _assign_udf(C)
-    s = a(F.col("vd"))
-    return base.select(
-        id_col, s["cell"].alias("cell"), s["qdist"].alias("qdist")
+    # stage the UDF struct behind an alias: referencing a(vd) twice in one
+    # projection can evaluate the Arrow-batched UDF twice per row
+    # (CollapseProject inlines direct expressions; a non-cheap ALIAS
+    # referenced more than once is pinned — SPARK-36718)
+    staged = base.withColumn("_a", a(F.col("vd")))
+    return staged.select(
+        id_col,
+        F.col("_a.cell").alias("cell"),
+        F.col("_a.qdist").alias("qdist"),
     )

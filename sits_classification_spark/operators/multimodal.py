@@ -48,13 +48,123 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return (raw / np.float64(2**32)).astype(np.float64)
 
 
-def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """The production decode hook. Media libraries are not installed in
-    this environment."""
-    raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg/librosa — not available here; "
-        "pass decoder=fake_decode for pipeline tests"
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Dependency-free REAL decoder for the two self-describing containers
+    a pure-Python pipeline can parse without codec libraries: uncompressed
+    24-bit BMP and PCM16 WAV. Returns the FEATURE_DIM typed feature
+    vector — container header fields plus exact integer channel
+    statistics — with every component integer-valued, so a SQL oracle
+    reproduces the decode bit-for-bit (the `media_decode` driver query).
+
+    Layout (image/BMP):  [w, h, bpp, n_px, sum_B, sum_G, sum_R, min, max]
+    Layout (audio/WAV):  [ch, rate, bits, n_smp, sum|s|, peak, sum_s,
+                          min_s, max_s]
+    Remaining components are 0. Compressed formats (PNG/JPEG/MP4) still
+    require codec libs and raise ValueError."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise ValueError(
+        "unsupported container for pure-python decode (BMP/WAV only)"
     )
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    ah = abs(h)
+    rowsize = ((w * 3 + 3) // 4) * 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=rowsize * ah, offset=off
+    ).reshape(ah, rowsize)
+    # strip the 4-byte row padding, then (B, G, R) triplets in file order
+    pix = arr[:, : w * 3].reshape(-1, 3).astype(np.int64)
+    f = np.zeros(FEATURE_DIM, dtype=np.float64)
+    f[0], f[1], f[2], f[3] = w, ah, bpp, w * ah
+    f[4], f[5], f[6] = pix[:, 0].sum(), pix[:, 1].sum(), pix[:, 2].sum()
+    f[7], f[8] = pix.min(), pix.max()
+    return f
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    pos, n = 12, len(payload)
+    fmt = smp = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        csz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            smp = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or smp is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM16 WAV supported")
+    # int64 BEFORE abs: np.abs(int16(-32768)) overflows back to -32768
+    s = np.frombuffer(smp, dtype="<i2").astype(np.int64)
+    f = np.zeros(FEATURE_DIM, dtype=np.float64)
+    f[0], f[1], f[2], f[3] = channels, rate, bits, len(s)
+    f[4], f[5], f[6] = np.abs(s).sum(), np.abs(s).max() if len(s) else 0, s.sum()
+    f[7], f[8] = (s.min(), s.max()) if len(s) else (0, 0)
+    return f
+
+
+def synth_bmp(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic 24-bit BMP whose pixel-array byte i (padding included)
+    is (doc_id*31 + i) % 256 — a closed form a SQL oracle can re-derive."""
+    rowsize = ((w * 3 + 3) // 4) * 4
+    npx = rowsize * h
+    body = bytes((doc_id * 31 + i) % 256 for i in range(npx))
+    header = (
+        b"BM"
+        + (54 + npx).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + npx.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    assert len(header) == 54
+    return header + body
+
+
+def synth_wav(doc_id: int, n_samples: int, rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV: sample j = ((doc_id*17 + j*j) % 65536)
+    - 32768 — same closed-form-for-the-oracle posture as synth_bmp."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", ((doc_id * 17 + j * j) % 65536) - 32768)
+        for j in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def real_decode(payload: bytes, kind: str) -> np.ndarray:
+    """The production decode hook: the pure-python container parsers above
+    for BMP/WAV; compressed formats raise until codec libs exist."""
+    return decode_media(payload, kind)
 
 
 def _bounded_batches(

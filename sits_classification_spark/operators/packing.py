@@ -73,8 +73,14 @@ def pack_chunks(
             F.lit(0).cast("long").alias("seg_len"),
         )
     lo, span = int(b["lo"]), int(b["hi"]) - int(b["lo"]) + 1
-    rid = F.floor((o - F.lit(lo)) * F.lit(p) / F.lit(span)).cast("long")
-    ranged = live.withColumn("_rid", rid)
+    # all-integer binning: fixed ranges of width ceil(span/p); (o-lo) DIV w
+    # is monotone in o, lands in [0, p-1], and never overflows int64 (no
+    # multiply by p — float division here would round bucket boundaries
+    # past 2^53, breaking the module's exact-integer-math contract)
+    w_rid = (span + p - 1) // p
+    ranged = live.withColumn("_delta", o - F.lit(lo)).withColumn(
+        "_rid", F.expr(f"CAST(_delta DIV {w_rid} AS BIGINT)")
+    ).drop("_delta")
     offs = (
         ranged.groupBy("_rid")
         .agg(F.sum(n).alias("_rsum"))

@@ -12,11 +12,16 @@ hash-splitting, which only hits the proportions in expectation), fully
 deterministic across runs and engines, and adding new rows only perturbs
 assignments within the stratum the rows land in.
 
-Scale posture: one window over (stratum) — a single shuffle partitioned by
-stratum; the rank and the stratum count ride the same exchange. Strata are
-assumed numerous-or-balanced (languages, labels); a single giant stratum
-serializes its window — for that shape, salt the stratum into ranged
-sub-strata and allocate blocks per sub-stratum.
+Scale posture: the stratum rank is a SALTED two-phase prefix rank (the
+pack_chunks pattern): the 60-bit order hash is range-bucketed into n_salt
+sub-strata, per-(stratum, salt) counts form a tiny side table whose
+exclusive prefix sums broadcast back, and the row-level window partitions
+by (stratum, salt) — so a giant stratum (90%-English corpora: `lang` IS a
+giant stratum) costs at most stratum/n_salt rows per task instead of
+serializing into one. Bucketing by a RANGE of the same hash the window
+orders by keeps the global (hash, id) order, so the salted rank — and
+therefore every split assignment — is bit-identical to the unsalted
+single-window form (n_salt=1 degenerates to it).
 """
 
 from __future__ import annotations
@@ -33,23 +38,54 @@ def stratified_split(
     id_col: str,
     train: float = 0.8,
     val: float = 0.1,
+    n_salt: int = 32,
 ) -> DataFrame:
     """Adds a `split` column ('train' | 'val' | 'test') with exact
     per-stratum proportions; `frac` (the stratum-relative rank in [0, 1))
     is exposed for auditing. Boundaries: frac < train -> train,
-    frac < train + val -> val, else test."""
+    frac < train + val -> val, else test.
+
+    The stratum-global rank is computed saltedly (module docstring): rank
+    within (stratum, hash-range bucket) + the broadcast exclusive prefix
+    of earlier buckets' counts. Identical output for any n_salt >= 1."""
     h = word_hash60(
         F.concat_ws(":", F.col(strata_col).cast("string"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
-    frac = (F.row_number().over(w) - F.lit(1)) / cnt
+    # integer DIV: h < 2^60 exceeds float53 precision, so a float divide
+    # could misbucket a boundary hash
+    bucket_w = (1 << 60) // max(int(n_salt), 1) + 1
+    base = df.withColumn("_h", h).withColumn(
+        "_salt", F.expr(f"_h DIV {bucket_w}")
+    )
+    sizes = base.groupBy(strata_col, "_salt").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        strata_col,
+        "_salt",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(Window.partitionBy(strata_col)).alias("_cnt"),
+    )
+    w = Window.partitionBy(strata_col, "_salt").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    frac = (F.col("_off") + F.row_number().over(w) - F.lit(1)) / F.col("_cnt")
     split = (
         F.when(frac < F.lit(train), F.lit("train"))
         .when(frac < F.lit(train + val), F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return df.withColumn("frac", frac).withColumn("split", split)
+    return (
+        base.join(F.broadcast(offs), [strata_col, "_salt"])
+        .withColumn("frac", frac)
+        .withColumn("split", split)
+        .select(*df.columns, "frac", "split")
+    )
 
 
 def hash_sample(
@@ -166,20 +202,21 @@ def mixture_sample(
     mix"), and the deterministic rank means re-running on the same corpus
     reproduces the same sample doc-for-doc.
 
-    Plan shape: the per-source plan (tiny) broadcast-joins onto the corpus,
-    then ONE window partitioned by source. Unlike cap_per_source's literal
-    cap, the DYNAMIC per-source target defeats the WindowGroupLimit
-    pushdown (verified via explain), so every source's rows cross the
-    exchange once; at extreme scale pre-prune with
-    `cap_per_source(df, max_target)` first — its literal cap DOES push
-    below the exchange, and ranking by the same hash makes the composition
-    exact."""
+    Plan shape: a DYNAMIC per-source target defeats Spark's
+    WindowGroupLimit pushdown (verified via explain), so ranking the raw
+    corpus against target_n would ship every source's full row set through
+    the exchange. Instead the tiny plan is collected for its max target
+    (one driver-side scalar off a per-source aggregate — the pack_chunks /
+    ivf_centroids posture) and `cap_per_source(df, max_target)` pre-prunes
+    FIRST: its literal cap pushes below the exchange (partial per map
+    task), so a hot source ships at most max_target·tasks rows. Both
+    stages rank by the same md5 hash, so cap_per_source's `rk` IS the
+    mixture rank and the dynamic filter needs no second window."""
     plan = mixture_plan(df, budget_frac, temperature, source_col)
-    h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
-    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    max_target = plan.agg(F.max("target_n")).first()[0] or 0
+    capped = cap_per_source(df, int(max_target), source_col, id_col)
     return (
-        df.join(F.broadcast(plan.select(source_col, "target_n")), source_col)
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        capped.join(F.broadcast(plan.select(source_col, "target_n")), source_col)
         .filter(F.col("rk") <= F.col("target_n"))
         .select(id_col, source_col, "rk")
     )
@@ -241,42 +278,46 @@ def group_quantiles(
 
     Exact-and-reproducible beats approximate here: Spark's
     `percentile_approx` and DuckDB's `approx_quantile` use different
-    sketches, so their outputs cannot be cross-checked. This computes true
-    order statistics with ONE window over the group (rank and group count
-    ride the same exchange) and keeps only the ceil(q·n) ranks — one
-    output row per group, pivoted to q-columns.
+    sketches, so their outputs cannot be cross-checked.
 
-    Scale posture: one shuffle partitioned by group; each group's sort is
-    a per-partition sort (window), and the filter drops all but len(qs)
-    rows per group before the final pivot aggregate. A pathological single
-    giant group serializes its sort — at that shape switch the ordering
-    column to (value, id) bucketed ranges and pre-aggregate counts per
-    value (exact quantiles of a value HISTOGRAM), which this operator's
-    semantics permit because ties are resolved by value only."""
+    Scale posture — exact quantiles of a value HISTOGRAM (the operator's
+    lower-rank tie semantics resolve by value only, which makes this
+    legal): a groupBy(group, value) hash-aggregate collapses the data to
+    one row per distinct value — partial aggregation absorbs hot values
+    map-side, so a giant group (one source = 90% of a corpus) ships its
+    distinct-value histogram, not its rows, through the exchange — then a
+    cumulative-count window runs over histogram rows (distinct values per
+    group, orders of magnitude below row count for doc-length-like
+    integers), and quantile q is the least value whose cumulative count
+    reaches ceil(q·n). Identical output to the row-level rank form."""
     v = F.col(value_col)
-    w = Window.partitionBy(*group_cols).orderBy(v.asc())
-    cnt = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-    # NULL values are excluded BEFORE ranking: Spark's asc is NULLS FIRST
+    # NULL values are excluded BEFORE counting: Spark's asc is NULLS FIRST
     # while DuckDB's is NULLS LAST, so ranking nulls would silently shift
     # every quantile and break cross-engine parity; quantiles-of-non-null
     # is also the semantic a QA readout wants
-    ranked = df.filter(v.isNotNull()).select(
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.select(
         *group_cols,
-        v.alias("_v"),
-        F.row_number().over(w).alias("_rn"),
-        cnt.alias("_n"),
+        "_v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(*group_cols)).alias("_n"),
     )
     aggs = []
-    cond = F.lit(False)
     for q in qs:
         target = F.ceil(F.lit(q) * F.col("_n")).cast("long")
-        cond = cond | (F.col("_rn") == target)
         name = f"q{int(round(q * 100)):02d}"
         aggs.append(
-            F.min(F.when(F.col("_rn") == target, F.col("_v"))).alias(name)
+            F.min(F.when(F.col("_cum") >= target, F.col("_v"))).alias(name)
         )
-    return (
-        ranked.filter(cond)
-        .groupBy(*group_cols)
-        .agg(F.max("_n").cast("long").alias("n"), *aggs)
+    return ranked.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n"), *aggs
     )

@@ -190,15 +190,26 @@ def cusum_breaks(
     no break). A zero-variance series has z = 0 everywhere and never
     breaks. Assumes one observation per (series, day) — the tier/W7
     contract; duplicate days would make the prefix-sum order, and hence
-    the registers, tie-order-dependent."""
+    the registers, tie-order-dependent.
+
+    The variance is computed on per-group MEAN-SHIFTED values (the
+    folds._SHIFT_STATS rationale): the raw-moment form E[v^2] - E[v]^2
+    cancels to noise when |mean| >> std (mean ~1e8, std ~1 loses every
+    significant bit and can go <= 0, silently forcing z = 0 and
+    suppressing real breaks); on centered values the subtraction is
+    O(std^2), exact. The staged shift projection rides the same (keys)
+    exchange as every other window here."""
     wg = Window.partitionBy(*keys)
     v = F.col(value_col).cast("double")
-    mean = F.avg(v).over(wg)
-    var = F.avg(v * v).over(wg) - mean * mean
-    z = F.when(var <= 0, F.lit(0.0)).otherwise((v - mean) / F.sqrt(var))
-    zdf = df.select(
-        *keys, F.col(day_col).cast("long").alias("_day"), z.alias("_z")
+    cdf = df.select(
+        *keys,
+        F.col(day_col).cast("long").alias("_day"),
+        (v - F.avg(v).over(wg)).alias("_c"),
     )
+    m2 = F.avg("_c").over(wg)  # ~0: the float residual of the shift
+    var = F.avg(F.col("_c") * F.col("_c")).over(wg) - m2 * m2
+    z = F.when(var <= 0, F.lit(0.0)).otherwise((F.col("_c") - m2) / F.sqrt(var))
+    zdf = cdf.select(*keys, "_day", z.alias("_z"))
     return cusum_scores(zdf, k=k, h=h, day_col="_day", z_col="_z", keys=keys)
 
 

@@ -191,6 +191,62 @@ def test_group_quantiles_match_order_statistics(spark):
             assert out[s][col] == sv[math.ceil(q * n) - 1], (s, col)
 
 
+def test_group_quantiles_histogram_on_skewed_group(spark):
+    """A giant group (90% of rows) with heavy value ties: the histogram
+    plan's window sees one row per DISTINCT value, and duplicated values
+    must still yield the exact lower-rank order statistics."""
+    import math
+
+    from sits_classification_spark.operators.split import group_quantiles
+
+    vals = {"big": [v % 17 for v in range(1800)], "small": [3, 1, 4, 1, 5]}
+    rows = [
+        Row(doc_id=i, source=s, n_chars=v)
+        for s, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    out_df = group_quantiles(
+        spark.createDataFrame(rows), "n_chars",
+        qs=(0.25, 0.5, 0.75, 0.95), group_cols=("source",),
+    )
+    out = {r["source"]: r for r in out_df.collect()}
+    for s, vs in vals.items():
+        sv, n = sorted(vs), len(vs)
+        assert out[s]["n"] == n
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.95, "q95")):
+            assert out[s][col] == sv[math.ceil(q * n) - 1], (s, col)
+    # the window's input is the (group, value) aggregate: an Aggregate node
+    # sits below the Window in the optimized plan (rows = distinct values,
+    # not corpus rows)
+    plan = out_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Window") < plan.index("+- Aggregate"), plan
+
+
+def test_mixture_sample_prepruned_window_group_limit(spark):
+    """mixture_sample pre-prunes with cap_per_source's LITERAL cap so the
+    WindowGroupLimit optimization fires (partial per map task below the
+    exchange) — the dynamic target alone defeats it."""
+    from sits_classification_spark.operators.split import mixture_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="hot" if i < 900 else "cold%d" % (i % 7))
+         for i in range(1000)]
+    )
+    samp = mixture_sample(df, budget_frac=0.3, temperature=0.7)
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # exact per-source counts survive the pre-prune composition
+    got = Counter(r["source"] for r in samp.collect())
+    from sits_classification_spark.operators.split import mixture_plan
+
+    want = {
+        r["source"]: r["target_n"]
+        for r in mixture_plan(df, budget_frac=0.3, temperature=0.7).collect()
+        if r["target_n"] > 0
+    }
+    assert got == want
+
+
 def test_cap_per_source_exact_counts_and_determinism(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, source="s%d" % (i % 3)) for i in range(100)]

@@ -71,13 +71,48 @@ def test_multimodal_feature_extraction(spark):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_real_decoder_rejects_unknown_containers(spark):
+    # synth_media payloads are sha256 bytes, not BMP/WAV: the real decoder
+    # must refuse rather than hallucinate features
     media = synth_media(spark, 3)
     with pytest.raises(Exception) as ei:
         extract_features(media, decoder=real_decode).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
+    assert "unsupported container" in str(ei.value)
+
+
+def test_bmp_decoder_exact_stats():
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        synth_bmp,
     )
+
+    doc_id, w, h = 42, 5, 4  # w=5 -> rowsize 16, real padding exercised
+    f = decode_media(synth_bmp(doc_id, w, h), "image")
+    rowsize = ((w * 3 + 3) // 4) * 4
+    px = [
+        (doc_id * 31 + y * rowsize + x * 3 + c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    ]
+    assert list(f[:4]) == [w, h, 24, w * h]
+    assert f[4] == sum(px[0::3]) and f[5] == sum(px[1::3]) and f[6] == sum(px[2::3])
+    assert f[7] == min(px) and f[8] == max(px)
+
+
+def test_wav_decoder_exact_stats():
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        synth_wav,
+    )
+
+    doc_id, n = 7, 63
+    f = decode_media(synth_wav(doc_id, n), "audio")
+    s = [((doc_id * 17 + j * j) % 65536) - 32768 for j in range(n)]
+    assert list(f[:4]) == [1, 8000, 16, n]
+    assert f[4] == sum(abs(x) for x in s)
+    assert f[5] == max(abs(x) for x in s)
+    assert f[6] == sum(s) and f[7] == min(s) and f[8] == max(s)
 
 
 def test_frame_sample_plan(spark):

@@ -107,6 +107,51 @@ def test_stratified_split_deterministic_and_stable(spark):
     assert set(a.values()) == {"train", "val", "test"}
 
 
+def test_stratified_split_giant_stratum_salted(spark):
+    """One stratum holding 90% of rows (the `lang` shape of a web corpus):
+    the salted rank must (a) reproduce the unsalted assignment bit-for-bit,
+    (b) keep exact proportions, and (c) partition the row-level window by
+    (stratum, salt) so no task sees the whole stratum."""
+    import re
+
+    rows = [
+        Row(doc_id=i, lang="en" if i < 1800 else "de") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows)
+    salted = stratified_split(df, "lang", "doc_id", n_salt=16)
+    unsalted = stratified_split(df, "lang", "doc_id", n_salt=1)
+    a = {(r["doc_id"], r["split"], r["frac"]) for r in salted.collect()}
+    b = {(r["doc_id"], r["split"], r["frac"]) for r in unsalted.collect()}
+    assert a == b
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in salted.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("en", "train")] == 1440 and counts[("en", "val")] == 180
+    assert counts[("de", "train")] == 160 and counts[("de", "test")] == 20
+    # the row-level window partitions by (lang, _salt); only the tiny
+    # per-bucket side table may window by lang alone
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+L?(?:, (\w+)#\d+L?)?,", plan)
+    assert any(s == ("lang", "_salt") for s in specs), specs
+    # and the salt genuinely spreads the giant stratum over many buckets
+    from sits_classification_spark.operators.text import word_hash60
+
+    bw = (1 << 60) // 16 + 1
+    buckets = (
+        df.filter(F.col("lang") == "en")
+        .select(
+            word_hash60(
+                F.concat_ws(":", F.col("lang"), F.col("doc_id").cast("string"))
+            ).alias("_h")
+        )
+        .select(F.expr(f"_h DIV {bw}").alias("_s"))
+        .distinct()
+        .count()
+    )
+    assert buckets >= 12  # 1800 hashes spread over ~16 range buckets
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (concat-then-chunk)
 # ---------------------------------------------------------------------------
