@@ -229,6 +229,7 @@ def mixture_sample_tokens(
     source_col: str = "source",
     id_col: str = "doc_id",
     weight_col: str = "n_chars",
+    min_mass: int | None = 1,
 ) -> DataFrame:
     """Token-budget temperature mixture: pre-training mixes are specified in
     TOKENS, not documents, so the weights q_i ∝ (tok_i)^α are computed over
@@ -240,7 +241,17 @@ def mixture_sample_tokens(
     weight_col is any additive integer mass (token count, char count); the
     running sum stays in int64 so the keep decision is exact and
     engine-independent. Same plan shape as mixture_sample: tiny plan
-    broadcast-joined, one window per source ordered by the md5 hash."""
+    broadcast-joined, one running-sum window per source ordered by the md5
+    hash.
+
+    Like mixture_sample, the dynamic target defeats WindowGroupLimit, so
+    when every row's mass is >= ``min_mass`` (true for token/char counts
+    over non-empty docs) the corpus is pre-pruned with cap_per_source at
+    the literal cap max_target // min_mass — a doc at hash rank r has
+    cum_toks >= r*min_mass, so no kept doc can sit past that rank, and the
+    literal cap pushes below the exchange. Pass ``min_mass=None`` for data
+    that may carry zero-mass rows (a zero-mass doc inside the budget is
+    kept by the running-sum rule but could be cut by the prune)."""
     c = df.groupBy(source_col).agg(
         F.sum(weight_col).cast("long").alias("toks")
     )
@@ -251,6 +262,12 @@ def mixture_sample_tokens(
     plan = c.select(
         source_col, F.floor(weight * budget).cast("long").alias("target_toks")
     )
+    base = df
+    if min_mass is not None and min_mass >= 1:
+        max_target = plan.agg(F.max("target_toks")).first()[0] or 0
+        base = cap_per_source(
+            df, int(max_target) // int(min_mass), source_col, id_col
+        ).drop("rk")
     h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
     w = (
         Window.partitionBy(source_col)
@@ -258,7 +275,7 @@ def mixture_sample_tokens(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.join(F.broadcast(plan), source_col)
+        base.join(F.broadcast(plan), source_col)
         .withColumn("cum_toks", F.sum(F.col(weight_col).cast("long")).over(w))
         .filter(F.col("cum_toks") <= F.col("target_toks"))
         .select(id_col, source_col, "cum_toks")

@@ -61,8 +61,12 @@ def compare(name: str, spdf: pd.DataFrame, dkdf: pd.DataFrame) -> list[str]:
 
 
 def main():
+    import json
+    import os
+
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    json_out = os.environ.get("COMPARE_JSON")  # path: write driver-style JSON
     spark = get_spark(app="compare", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -70,30 +74,51 @@ def main():
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             spdf = fn(spark, sf).toPandas()
+            rec["spark_rows"] = len(spdf)
         except Exception as e:
+            rec["err"] = f"SPARK {type(e).__name__}: {str(e)[:200]}"
             print(f"[FAIL] {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
         if name not in osql:
+            rec.update(rows_match=True, schema_match=True,
+                       err="rows-only (no oracle declared)")
             print(f"[rows-only] {name}: {len(spdf)} rows, cols={list(spdf.columns)}")
             continue
         try:
             dkdf = con.execute(osql[name]).df()
+            rec["oracle_rows"] = len(dkdf)
         except Exception as e:
+            rec["err"] = f"DUCKDB {type(e).__name__}: {str(e)[:200]}"
             print(f"[FAIL] {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
         issues = compare(name, spdf, dkdf)
         real = [i for i in issues if not i.startswith("DTYPES")]
+        rec["schema_match"] = not any(i.startswith("columns") for i in real)
+        rec["rows_match"] = rec["schema_match"] and not any(
+            i.startswith("rowcount") for i in real
+        )
+        rec["hash_match"] = not real
         tag = "OK " if not real else "FAIL"
         if real:
             failures += 1
+            rec["err"] = "; ".join(real)[:300]
         print(f"[{tag}] {name}: {len(spdf)} rows" + ("; " + "; ".join(issues) if issues else ""))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1)
     print(f"\n{failures} failures")
     sys.exit(1 if failures else 0)
 
