@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # rank-limit pushdown (WindowGroupLimit) is a streaming skip with
+        # O(1) memory per group, but Spark only plans it for limits under
+        # this threshold (default 1000) — far below the token-budget caps
+        # the mixture pipeline pushes (cap_per_source / mixture_*): raise
+        # it so a 100k-token per-source cap still pre-prunes below the
+        # exchange instead of shipping every row of a hot source
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -6,6 +6,7 @@ from collections import Counter
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from sits_classification_spark.operators.sketch import heavy_hitters
 from sits_classification_spark.operators.split import cap_per_source
@@ -245,6 +246,33 @@ def test_mixture_sample_prepruned_window_group_limit(spark):
         if r["target_n"] > 0
     }
     assert got == want
+
+
+def test_mixture_tokens_prepruned_above_default_threshold(spark):
+    """Token budgets exceed Spark's default windowGroupLimitThreshold
+    (1000); the session raises it so the cap_per_source pre-prune still
+    plans as a two-phase WindowGroupLimit for a 10k+ token cap."""
+    from sits_classification_spark.operators.split import mixture_sample_tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="hot" if i < 900 else "cold%d" % (i % 7),
+             n_chars=40 + i % 60)
+         for i in range(1000)]
+    )
+    samp = mixture_sample_tokens(df, budget_frac=0.5, temperature=0.7)
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    # partial (below the exchange) + final (above): both phases planned
+    assert plan.count("WindowGroupLimit") == 2, plan[:2000]
+    # and the budget is still respected per source
+    toks = {r["source"]: r["t"] for r in df.groupBy("source")
+            .agg(F.sum("n_chars").alias("t")).collect()}
+    total = sum(toks.values())
+    s = sum(t ** 0.7 for t in toks.values())
+    kept = {r["source"]: r["m"] for r in samp.join(df, ["doc_id", "source"])
+            .groupBy("source").agg(F.sum("n_chars").alias("m")).collect()}
+    for src, t in toks.items():
+        target = int(round(t ** 0.7 / s, 6) * (0.5 * total))
+        assert kept.get(src, 0) <= target
 
 
 def test_cap_per_source_exact_counts_and_determinism(spark):
