@@ -1024,9 +1024,9 @@ def q_index_menu_full(spark, sf):
     published literature definitions (NDTI, ARVI/SARVI/SAVI, the Huang
     2002 tasseled-cap triplet + Healey 2005 DI, NDBI, MNDWI, NDMI, NDSI,
     kNDVI, the red-edge family, CCI — citations in functions/scalar.py).
-    With q_index_menu's reference-spelled nine, every menu name is covered
-    except SMA (spectral unmixing against a user-supplied endmember
-    matrix, TSA.prm:194+ — an input, not a formula). Bands synthesized
+    With q_index_menu's reference-spelled nine and q_sma_fractions'
+    closed-form unmixing, every menu name is covered (SMA's iterative
+    NNLS option alone stays out — no closed form). Bands synthesized
     from lineitem in reflectance-like ranges; e4 quantization; the ARVI
     denominator guard uses identical text on both engines."""
     from sits_classification_spark.functions import scalar as X
@@ -1079,6 +1079,109 @@ def q_index_menu_full(spark, sf):
         q4(X.msrre(bnir, re1)).alias("msrren_e4"),
         q4(X.cci(green, red)).alias("cci_e4"),
     )
+
+
+# SMA endmember matrix (B=6 bands × k=3 endmembers: vegetation, soil,
+# water — plausible reflectance spectra, fixed literals; the reference
+# takes this as a user input file, TSA.prm:194+)
+_SMA_E = [
+    [0.03, 0.12, 0.08],  # blue
+    [0.05, 0.18, 0.06],  # green
+    [0.03, 0.25, 0.04],  # red
+    [0.55, 0.35, 0.02],  # nir
+    [0.25, 0.45, 0.01],  # swir1
+    [0.12, 0.40, 0.01],  # swir2
+]
+
+_SMA_BANDS = ("blue", "green", "red", "nir", "swir1", "swir2")
+
+
+def _sma_band_cols():
+    return [
+        F.col("l_quantity") / 60.0,
+        F.col("l_discount") + 0.05,
+        F.col("l_tax") + 0.03,
+        F.col("l_extendedprice") / 120000.0,
+        F.col("l_quantity") / 100.0 + 0.01,
+        F.col("l_discount") + 0.01,
+    ]
+
+
+def q_sma_fractions(spark, sf):
+    """C1 SMA (the final TSA INDEX menu name): sum-to-one linear spectral
+    unmixing of the synthetic 6-band pixels against a 3-endmember matrix
+    (vegetation/soil/water). The constrained LS closed form is an affine
+    map f = P·x + c precomputed driver-side (functions/scalar.sma_affine),
+    so the per-pixel work is literal Column arithmetic — zero exchanges,
+    scan-stage only, like the tasseled cap — and the DuckDB oracle spells
+    the identical literal sequence. f_sum_e6 == 1e6 is the built-in
+    sum-to-one self-check; rmse_e6 is the standard SMA model-quality
+    band. SMA_NON_NEG (iterative NNLS) is documented out of the Column
+    path (no closed form)."""
+    from sits_classification_spark.functions import scalar as X
+
+    li = _read(spark, sf, "lineitem")
+    bands = _sma_band_cols()
+    P, c = X.sma_affine(_SMA_E, sum_to_one=True)
+    fr = X.sma_fractions(bands, P, c)
+    rmse = X.sma_rmse(bands, fr, _SMA_E)
+
+    def q6(col):
+        return F.floor(col * 1000000 + F.lit(0.5)).cast("long")
+
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        q6(fr[0]).alias("f_veg_e6"),
+        q6(fr[1]).alias("f_soil_e6"),
+        q6(fr[2]).alias("f_water_e6"),
+        q6(fr[0] + fr[1] + fr[2]).alias("f_sum_e6"),
+        q6(rmse).alias("rmse_e6"),
+    )
+
+
+def _sma_oracle_sql() -> str:
+    """Mirror of q_sma_fractions: same affine coefficients (computed by the
+    same sma_affine call), same left-to-right literal accumulation text."""
+    from sits_classification_spark.functions.scalar import sma_affine
+
+    P, c = sma_affine(_SMA_E, sum_to_one=True)
+    fr = []
+    for i in range(3):
+        e = repr(float(c[i]))
+        for w, b in zip(P[i], _SMA_BANDS):
+            e = f"({e} + {float(w)!r}*{b})"
+        fr.append(e)
+    total = "0.0"
+    for b_idx, b in enumerate(_SMA_BANDS):
+        model = "0.0"
+        for i in range(3):
+            model = f"({model} + {float(_SMA_E[b_idx][i])!r}*f{i})"
+        total = f"({total} + ({b} - {model})*({b} - {model}))"
+    rmse = f"sqrt({total} / 6.0)"
+
+    def q6(x):
+        return f"CAST(floor(({x})*1000000 + 0.5) AS BIGINT)"
+
+    return f"""
+        WITH b AS (
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity/60.0 AS blue,
+                   l_discount + 0.05 AS green,
+                   l_tax + 0.03 AS red,
+                   l_extendedprice/120000.0 AS nir,
+                   l_quantity/100.0 + 0.01 AS swir1,
+                   l_discount + 0.01 AS swir2
+            FROM lineitem),
+        f AS (SELECT *, {fr[0]} AS f0, {fr[1]} AS f1, {fr[2]} AS f2 FROM b)
+        SELECT l_orderkey, l_linenumber,
+               {q6('f0')} AS f_veg_e6,
+               {q6('f1')} AS f_soil_e6,
+               {q6('f2')} AS f_water_e6,
+               {q6('(f0 + f1) + f2')} AS f_sum_e6,
+               {q6(rmse)} AS rmse_e6
+        FROM f
+    """
 
 
 def q_augment_zero_out(spark, sf):
@@ -2266,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_index": q_spectral_index,
         "index_menu": q_index_menu,
         "index_menu_full": q_index_menu_full,
+        "sma_fractions": q_sma_fractions,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -3928,6 +4032,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(((green - red)/(green + red))*10000 + 0.5) AS BIGINT) AS cci_e4
             FROM g
         """,
+        "sma_fractions": _sma_oracle_sql(),
         "screen_pipeline": """
             SELECT event_id, user_id AS doc_id, event_type, value
             FROM events

@@ -95,6 +95,7 @@ HEADLINE = [
     "spl_phenology",
     "index_menu",
     "index_menu_full",
+    "sma_fractions",
     "asof_purchase",
     "asof_tolerance_7d",
     "pricing_summary",

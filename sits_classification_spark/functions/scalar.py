@@ -234,6 +234,71 @@ def cci(green: Column, red: Column) -> Column:
     return _nd(green, red)
 
 
+def sma_affine(
+    endmembers: list[list[float]], sum_to_one: bool = False
+) -> tuple[list[list[float]], list[float]]:
+    """C1 SMA — linear spectral mixture analysis (the TSA INDEX menu's last
+    name; endmember input per ``TSA.prm:194+``'s SPECTRAL MIXTURE ANALYSIS
+    block). Ordinary least squares min ||E·f - x||² has the closed form
+    f = (EᵀE)⁻¹Eᵀ x; the SMA_SUM_TO_ONE variant is equality-constrained LS,
+    f = f̂ + A⁻¹1·(1 - 1ᵀf̂)/(1ᵀA⁻¹1), which is AFFINE in x. Both therefore
+    reduce to f = P·x + c with P (k×B) and c (k) precomputed here on the
+    driver from the endmember matrix (B×k, rows = bands) — the same
+    ship-the-quantizer-with-the-plan posture as ivf_topk, and the per-row
+    work is a literal matrix multiply, scan-stage Column arithmetic like
+    the tasseled cap. The SMA_NON_NEG option (iterative NNLS, Lawson &
+    Hanson 1974) has no closed form and belongs in a pandas-UDF kernel —
+    documented out of the Column path. References: Adams et al. 1986;
+    Smith et al. 1990."""
+    import numpy as np
+
+    E = np.asarray(endmembers, dtype=np.float64)  # (B, k)
+    A_inv = np.linalg.inv(E.T @ E)  # (k, k)
+    P = A_inv @ E.T  # (k, B)
+    k = P.shape[0]
+    c = np.zeros(k)
+    if sum_to_one:
+        ones = np.ones(k)
+        a1 = A_inv @ ones
+        denom = float(ones @ a1)
+        # f = (P - a1·(1ᵀP)/denom)·x + a1/denom
+        P = P - np.outer(a1, ones @ P) / denom
+        c = a1 / denom
+    return P.tolist(), c.tolist()
+
+
+def sma_fractions(
+    bands: list[Column],
+    P: list[list[float]],
+    c: list[float],
+) -> list[Column]:
+    """Apply the precomputed SMA affine map: fraction_i = Σ_b P[i][b]·x_b
+    + c_i, accumulated left-to-right so a SQL oracle spelling the same
+    literal sequence lands on bit-identical doubles."""
+    out = []
+    for i in range(len(P)):
+        f = F.lit(float(c[i]))
+        for w, b in zip(P[i], bands):
+            f = f + F.lit(float(w)) * b
+        out.append(f)
+    return out
+
+
+def sma_rmse(bands: list[Column], fractions: list[Column],
+             endmembers: list[list[float]]) -> Column:
+    """Per-pixel model RMSE of the unmixing: sqrt(mean_b (x_b - Σ_i
+    E[b][i]·f_i)²) — the standard SMA quality band."""
+    n = len(bands)
+    total = F.lit(0.0)
+    for b_idx, x in enumerate(bands):
+        model = F.lit(0.0)
+        for i, f in enumerate(fractions):
+            model = model + F.lit(float(endmembers[b_idx][i])) * f
+        r = x - model
+        total = total + r * r
+    return F.sqrt(total / F.lit(float(n)))
+
+
 # --- C2/C3 scaling ------------------------------------------------------------
 
 def scale_int16(v: Column, factor: int = 1000) -> Column:

@@ -453,3 +453,32 @@ def test_resample_expr_aligned_grid_skips_tiny_spans(spark):
     docs = {r["doc_id"] for r in out}
     assert docs == {"big"}
     assert sorted(r["grid_day"] for r in out) == [10, 20]
+
+
+def test_sma_affine_recovers_pure_mixtures():
+    """Closed-form unmixing: a pixel built as E @ f_true recovers f_true
+    exactly (up to float); the sum-to-one variant returns fractions that
+    sum to 1 for ANY pixel."""
+    import numpy as np
+
+    from sits_classification_spark.functions.scalar import sma_affine
+
+    E = [
+        [0.03, 0.12, 0.08], [0.05, 0.18, 0.06], [0.03, 0.25, 0.04],
+        [0.55, 0.35, 0.02], [0.25, 0.45, 0.01], [0.12, 0.40, 0.01],
+    ]
+    En = np.array(E)
+    rng = np.random.default_rng(7)
+    for sum_to_one in (False, True):
+        P, c = sma_affine(E, sum_to_one=sum_to_one)
+        Pn, cn = np.array(P), np.array(c)
+        for _ in range(20):
+            f_true = rng.dirichlet([1.0, 1.0, 1.0])  # sums to 1: feasible
+            x = En @ f_true
+            f = Pn @ x + cn
+            np.testing.assert_allclose(f, f_true, atol=1e-10)
+        if sum_to_one:
+            for _ in range(20):
+                x = rng.uniform(0.0, 1.0, size=6)  # arbitrary pixel
+                f = Pn @ x + cn
+                assert abs(f.sum() - 1.0) < 1e-10
