@@ -2312,6 +2312,81 @@ def q_fixed_windows(spark, sf):
     )
 
 
+_PT_LON = "-10.0 + CAST((c_custkey * 37) % 4000 AS DOUBLE) / 100.0"
+_PT_LAT = "35.0 + CAST((c_custkey * 61) % 3000 AS DOUBLE) / 100.0"
+
+from sits_classification_spark.functions.geo import (  # noqa: E402
+    laea_forward_oracle_cte as _laea_cte,
+)
+
+
+def q_laea_reproject(spark, sf):
+    """S4 — EPSG:4326 -> EPSG:3035 reprojection (force_class_utils.py:67-83)
+    as pure whole-stage-codegen Column trig: the ellipsoidal LAEA forward
+    mapping (Snyder 1987 pp.187-188 / EPSG method 9820) on deterministic
+    synthetic lon/lat from customer keys. The oracle runs the IDENTICAL
+    staged expression text in DuckDB (geo.laea_forward_stages), so the two
+    engines differ by libm ulps only — quantization at centimeters is ~6
+    orders of magnitude above that."""
+    from sits_classification_spark.functions.geo import laea_forward
+
+    pts = _read(spark, sf, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS custkey",
+        f"{_PT_LON} AS lon",
+        f"{_PT_LAT} AS lat",
+    )
+    return laea_forward(pts, "lon", "lat").selectExpr(
+        "custkey",
+        "CAST(floor(x3035 * 100.0 + 0.5) AS BIGINT) AS x_cm",
+        "CAST(floor(y3035 * 100.0 + 0.5) AS BIGINT) AS y_cm",
+    )
+
+
+def q_shapefile_roundtrip(spark, sf):
+    """S4/S11 — point-shapefile sink -> distributed source round-trip as a
+    driver row: synthesize nation-keyed points (EPSG:4326), write a real
+    .shp/.shx/.dbf/.prj set via the driver-side sink (the predictions.shp
+    path, predict.py:700-707), read it back through the binaryFile +
+    applyInPandas reader, and return the symmetric exceptAll diff vs the
+    synthesized relation — EXPECTED EMPTY. Doubles survive the shapefile
+    bit-exactly (IEEE f64 on disk), so the diff needs no rounding; the
+    oracle is the matching empty relation."""
+    from sits_classification_spark.sources.shapefile import (
+        read_point_shapefiles,
+        write_point_shapefile,
+    )
+
+    expected = (
+        _read(spark, sf, "nation")
+        .selectExpr(
+            "CAST(n_nationkey AS BIGINT) AS nkey",
+            "n_name AS name",
+            "-10.0 + CAST((n_nationkey * 53) % 4000 AS DOUBLE) / 100.0 AS x",
+            "35.0 + CAST((n_nationkey * 29) % 3000 AS DOUBLE) / 100.0 AS y",
+        )
+        .withColumn(
+            "fid",
+            F.row_number().over(Window.orderBy("nkey")).cast("long"),
+        )
+    )
+    pdf = expected.orderBy("nkey").toPandas()[["x", "y", "nkey", "name"]]
+    base = f"/tmp/sits_shp_rt_{os.path.basename(os.path.normpath(sf))}/pts"
+    write_point_shapefile(pdf, base, epsg=4326)
+
+    got = read_point_shapefiles(spark, base + ".shp").select(
+        F.col("fid").cast("long").alias("fid"),
+        "x",
+        "y",
+        F.col("attrs")["nkey"].cast("long").alias("nkey"),
+        F.col("attrs")["name"].alias("name"),
+        F.col("epsg").cast("int").alias("epsg"),
+    )
+    exp = expected.select(
+        "fid", "x", "y", "nkey", "name", F.lit(4326).cast("int").alias("epsg")
+    )
+    return got.exceptAll(exp).unionAll(exp.exceptAll(got))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2404,6 +2479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "laea_reproject": q_laea_reproject,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4345,6 +4422,30 @@ def oracle_sql() -> dict[str, str]:
                             CAST(max(s) AS BIGINT) AS f8
                      FROM smp GROUP BY doc_id)
             SELECT * FROM imgf UNION ALL SELECT * FROM wavf
+        """,
+        # S4 reprojection: the DuckDB side evaluates the IDENTICAL staged
+        # expression text (geo.laea_forward_stages) as the Spark plan —
+        # engines differ by libm ulps; cm quantization is 1e6x above that.
+        "laea_reproject": f"""
+            WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                                {_PT_LON} AS lon,
+                                {_PT_LAT} AS lat
+                         FROM customer)
+            {_laea_cte("pts", "lon", "lat")}
+            SELECT custkey,
+                   CAST(floor(x3035 * 100.0 + 0.5) AS BIGINT) AS x_cm,
+                   CAST(floor(y3035 * 100.0 + 0.5) AS BIGINT) AS y_cm
+            FROM laea
+        """,
+        # sink->source round-trip contract: correct value is the empty diff
+        "shapefile_roundtrip": """
+            SELECT CAST(NULL AS BIGINT) AS fid,
+                   CAST(NULL AS DOUBLE) AS x,
+                   CAST(NULL AS DOUBLE) AS y,
+                   CAST(NULL AS BIGINT) AS nkey,
+                   CAST(NULL AS VARCHAR) AS name,
+                   CAST(NULL AS INTEGER) AS epsg
+            WHERE 1 = 0
         """,
         # the twin-contract queries return a symmetric streaming-vs-batch
         # diff whose CORRECT value is the empty relation; the oracle is
