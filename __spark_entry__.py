@@ -2387,6 +2387,59 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    within each cell drop the centroid-nearer member of every cosine >=
+    0.40 pair (this synthetic corpus has no 0.95-cosine near-dups; max
+    pairwise cosine is 0.51, so the paper default would be vacuous here) (quantized; deterministic per-pair domination contract). The
+    oracle re-derives the identical unrolled k-means assignment
+    (kmassign CTE) and mirrors the pair/loser logic."""
+    from sits_classification_spark.operators.clustering import semdedup
+
+    e = _read(spark, sf, "embeddings")
+    return semdedup(e, k=8, iters=3, tau_e6=400_000).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "qdist",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def q_dsir_select(spark, sf):
+    """DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+    log(p_en / p_raw) with the English corpus as the target domain, then
+    deterministic Gumbel top-10 selection per source (md5-uniform noise —
+    importance RESAMPLING without RNG). Output: every doc's weight plus
+    its picked flag; the per-source window keeps the rank partitioned."""
+    from sits_classification_spark.operators.text import dsir_weights, word_hash60
+
+    d = _read(spark, sf, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    wts = dsir_weights(d, target_col="is_target")
+    u = (
+        F.pmod(
+            word_hash60(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string"))),
+            F.lit(1 << 50),
+        )
+        + F.lit(1)
+    ) / F.lit(float((1 << 50) + 2))
+    gkey = F.col("logw_e6") + F.floor(
+        -F.log(-F.log(u)) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    joined = wts.join(
+        d.select("doc_id", "source"), "doc_id"
+    ).withColumn("gkey_e6", gkey)
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("gkey_e6").desc(), F.col("doc_id").asc()
+        )
+    )
+    return joined.withColumn("picked", (rn <= 10).cast("int")).select(
+        "doc_id", "n_feats", "logw_e6", "gkey_e6", "source", "picked"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2481,6 +2534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "laea_reproject": q_laea_reproject,
         "shapefile_roundtrip": q_shapefile_roundtrip,
+        "semdedup": q_semdedup,
+        "dsir_select": q_dsir_select,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -3187,8 +3242,10 @@ def _ivf_topk_oracle_sql(
     """
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
-    """Lloyd k-means re-derivation with the iterations unrolled as CTEs:
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """Lloyd k-means re-derivation with the iterations unrolled as CTEs,
+    ending in a ``kmassign`` CTE (vec_id, cell, qdist) — shared by the
+    kmeans_cells and semdedup oracles:
     same md5-keyed seeds (cells labelled 0..k-1 in cid order), same
     quantized vv - 2*dot + cc distances (near-ties become exact ties, the
     (qdist, cell) order resolves them identically), same 1e-6-quantized
@@ -3228,13 +3285,20 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
                         LEFT JOIN upd{t} u USING (cell, pos)
                         GROUP BY p.cell)"""
         )
-    return f"""
-        WITH {", ".join(ctes)}
-        SELECT vec_id, cell, qdist FROM (
+    ctes.append(
+        f"""kmassign AS (SELECT vec_id, cell, qdist FROM (
             SELECT v.vec_id, c.cell, {qd} AS qdist,
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {qd}, c.cell) AS rn
-            FROM vv v CROSS JOIN cent{iters} c) WHERE rn = 1
+            FROM vv v CROSS JOIN cent{iters} c) WHERE rn = 1)"""
+    )
+    return ", ".join(ctes)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    return f"""
+        WITH {_kmeans_ctes(k, iters)}
+        SELECT vec_id, cell, qdist FROM kmassign
     """
 
 
@@ -4436,6 +4500,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(x3035 * 100.0 + 0.5) AS BIGINT) AS x_cm,
                    CAST(floor(y3035 * 100.0 + 0.5) AS BIGINT) AS y_cm
             FROM laea
+        """,
+        "semdedup": f"""
+            WITH {_kmeans_ctes(8, 3)},
+            vn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn
+                   FROM vv),
+            keepc AS (SELECT cell FROM kmassign
+                      GROUP BY cell HAVING count(*) <= 20000),
+            side AS (SELECT a.vec_id, a.cell, a.qdist, n.v, n.vn
+                     FROM kmassign a
+                     JOIN vn n USING (vec_id)
+                     JOIN keepc USING (cell)),
+            pr AS (SELECT l.vec_id AS ida, r.vec_id AS idb,
+                          l.qdist AS qa, r.qdist AS qb,
+                          CAST(floor(list_dot_product(l.v, r.v)
+                                     / (l.vn * r.vn) * 1000000 + 0.5)
+                               AS BIGINT) AS cos_e6
+                   FROM side l JOIN side r USING (cell)
+                   WHERE l.vec_id < r.vec_id),
+            losers AS (SELECT DISTINCT
+                              CASE WHEN (qa, ida) < (qb, idb)
+                                   THEN ida ELSE idb END AS vec_id
+                       FROM pr WHERE cos_e6 >= 400000)
+            SELECT a.vec_id, a.cell, a.qdist,
+                   CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+            FROM kmassign a LEFT JOIN losers l USING (vec_id)
+        """,
+        "dsir_select": f"""
+            WITH d AS (SELECT doc_id, source, lang = 'en' AS tgt,
+                              {_WORDS} AS w
+                       FROM documents),
+            feats AS (SELECT doc_id, tgt, unnest(w) AS f FROM d
+                      UNION ALL
+                      SELECT doc_id, tgt, w[i] || ' ' || w[i+1] AS f
+                      FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+            fb AS (SELECT doc_id, tgt,
+                          CAST('0x' || substr(md5(f), 1, 15) AS BIGINT)
+                            % 4096 AS b
+                   FROM feats),
+            tf AS (SELECT doc_id, b, count(*) AS tf FROM fb GROUP BY 1, 2),
+            ct AS (SELECT b, count(*) AS ct FROM fb WHERE tgt GROUP BY b),
+            cr AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+            nt AS (SELECT count(*) AS nt FROM fb WHERE tgt),
+            nr AS (SELECT count(*) AS nr FROM fb),
+            wts AS (SELECT doc_id,
+                           CAST(sum(tf) AS BIGINT) AS n_feats,
+                           CAST(sum(CAST(floor(
+                               (ln((coalesce(ct, 0) + 1.0) / (nt + 4096.0))
+                                - ln((cr + 1.0) / (nr + 4096.0)))
+                               * 1000000 + 0.5) AS BIGINT) * tf)
+                             AS BIGINT) AS logw_e6
+                    FROM tf LEFT JOIN ct USING (b)
+                            JOIN cr USING (b)
+                            CROSS JOIN nt CROSS JOIN nr
+                    GROUP BY doc_id),
+            g AS (SELECT w.doc_id, w.n_feats, w.logw_e6, d.source,
+                         w.logw_e6 + CAST(floor(-ln(-ln(
+                             (CAST('0x' || substr(md5('dsir:' ||
+                                  CAST(w.doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) % 1125899906842624 + 1)
+                             / 1125899906842626.0)) * 1000000 + 0.5)
+                           AS BIGINT) AS gkey_e6
+                  FROM wts w JOIN d ON w.doc_id = d.doc_id)
+            SELECT doc_id, n_feats, logw_e6, gkey_e6, source,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY source
+                            ORDER BY gkey_e6 DESC, doc_id ASC) <= 10
+                        THEN 1 ELSE 0 END AS picked
+            FROM g
         """,
         # sink->source round-trip contract: correct value is the empty diff
         "shapefile_roundtrip": """

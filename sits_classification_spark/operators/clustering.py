@@ -110,3 +110,80 @@ def kmeans_embeddings(
         F.col("_a.cell").alias("cell"),
         F.col("_a.qdist").alias("qdist"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau_e6: int = 950_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int = 20_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings (k-means above) and dropping, within each cluster, members
+    of high-cosine pairs — keeping the pair member FARTHER from the
+    centroid (the paper's keep-low-centroid-similarity rule, which
+    preserves cluster diversity). Removal contract (deterministic,
+    per-pair domination): v is removed iff some same-cell u with
+    quantized cos(u,v) >= tau_e6 has (qdist_u, u_id) lexicographically
+    GREATER than (qdist_v, v_id) — i.e. every qualifying pair drops its
+    centroid-nearer member, ties broken by id.
+
+    Scale posture: pair generation is confined to cells (the paper runs
+    k ~ 1e5 so cells stay small; here k is a parameter), and cells larger
+    than `max_cell` are excluded from pairing by a window count riding the
+    SAME cell-keyed exchange the self-join needs (the hot-bucket cap
+    pattern of similarity.embedding_near_dups). Norms and double-cast
+    vectors are computed once per side BEFORE the join.
+
+    Returns (id, cell, qdist, keep) for every input vector."""
+    cells = kmeans_embeddings(df, k, iters, vec_col, id_col)
+    from pyspark.sql import Window
+
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    ).withColumn(
+        "vn",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("vd"), F.col("vd"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    side = cells.join(vecs, id_col).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    ).filter(F.col("_n") <= max_cell).drop("_n")
+    l, r = side.alias("l"), side.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.vd"), F.col("r.vd"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_e6 = F.floor(
+        dot / (F.col("l.vn") * F.col("r.vn")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    key_l = F.struct(F.col("l.qdist"), F.col(f"l.{id_col}"))
+    key_r = F.struct(F.col("r.qdist"), F.col(f"r.{id_col}"))
+    losers = (
+        l.join(r, on="cell")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .filter(cos_e6 >= F.lit(tau_e6))
+        .select(
+            F.when(key_l < key_r, F.col(f"l.{id_col}"))
+            .otherwise(F.col(f"r.{id_col}"))
+            .alias(id_col)
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return cells.join(losers, id_col, "left").select(
+        id_col,
+        "cell",
+        "qdist",
+        F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+    )

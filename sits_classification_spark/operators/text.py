@@ -787,3 +787,76 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("_f.k").alias("n_distinct_chars"),
         ent.alias("ent_e6"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR):
+    per-doc log importance weight log(p_target(x)/p_raw(x)) under hashed
+    bag-of-ngram (unigram + bigram) multinomial LMs — the public recipe for
+    tilting a raw web corpus toward a target domain before sampling.
+
+    Features are md5-hashed into `n_buckets` buckets (the paper's hashed
+    n-gram trick: vocabulary-independent, fixed model size). Both LMs are
+    add-one-smoothed multinomials over buckets; the per-bucket log-ratio
+    ln((ct+1)/(Nt+B)) - ln((cr+1)/(Nr+B)) is quantized to integer
+    micro-units BEFORE the per-doc tf-weighted int64 sum, so the weight is
+    engine-exact (the unigram_logprob pattern).
+
+    Plan: the feature stream (explode of unigrams + zipped bigrams) feeds
+    ONE hash-aggregate keyed by bucket for each LM — map-side combined,
+    output bounded by n_buckets regardless of corpus size — and the tiny
+    count tables broadcast back onto the per-doc bucket tf aggregate. No
+    window, no skew: bucket cardinality is capped by construction.
+
+    Returns (doc_id, n_feats, logw_e6); resampling is a downstream
+    deterministic Gumbel top-k over logw_e6 (see q_dsir_select)."""
+    w = words(text_col)
+    feats = F.concat(w, ngram_shingles(w, 2))
+    base = df.select(
+        "doc_id",
+        F.col(target_col).alias("_t"),
+        F.explode(feats).alias("_f"),
+    ).select(
+        "doc_id",
+        "_t",
+        F.pmod(word_hash60(F.col("_f")), F.lit(n_buckets)).alias("b"),
+    )
+    tf = base.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    ct = (
+        base.filter(F.col("_t"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cr = base.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    nt = base.filter(F.col("_t")).agg(F.count(F.lit(1)).alias("nt"))
+    nr = base.agg(F.count(F.lit(1)).alias("nr"))
+    lr = F.floor(
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("nt") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(1.0))
+                / (F.col("nr") + F.lit(float(n_buckets)))
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.sum(lr * F.col("tf")).cast("long").alias("logw_e6"),
+        )
+    )

@@ -343,3 +343,79 @@ def test_hll_estimate_accuracy_and_determinism(spark):
     assert a == b  # no RNG anywhere
     assert abs(a["big"] / 1e6 - 10000) / 10000 < 0.05
     assert abs(a["small"] / 1e6 - 200) / 200 < 0.05
+
+
+def test_semdedup_drops_centroid_nearer_pair_member(spark):
+    """SemDeDup contract: a qualifying pair loses its centroid-NEARER
+    member (smaller (qdist, id)); identical vectors tie on qdist, so the
+    smaller id is removed and the larger kept."""
+    from sits_classification_spark.operators.clustering import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),     # exact dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal — never paired
+        (3, [0.0, 0.96, 0.28, 0.0]),   # cos with 2 = 0.96 -> paired
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, iters=1, tau_e6=900_000).collect()}
+    assert not out[0]["keep"] and out[1]["keep"]  # dup: smaller id dropped
+    # 2 vs 3: whichever is nearer its centroid is dropped, the other kept
+    assert out[2]["keep"] != out[3]["keep"]
+    assert sum(1 for r in out.values() if not r["keep"]) == 2
+
+
+def test_dsir_weights_match_hand_computation(spark):
+    """dsir_weights equals the closed form computed in plain Python with
+    the same md5 bucket hashing and add-one smoothing."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from sits_classification_spark.operators.text import dsir_weights
+
+    docs = [
+        (0, "alpha beta alpha", True),
+        (1, "beta gamma", True),
+        (2, "gamma delta epsilon", False),
+    ]
+    B = 64
+
+    def feats(text):
+        w = text.lower().split()
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    ct, cr = Counter(), Counter()
+    per_doc = {}
+    for did, text, tgt in docs:
+        bs = [bucket(f) for f in feats(text)]
+        per_doc[did] = Counter(bs)
+        cr.update(bs)
+        if tgt:
+            ct.update(bs)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    expected = {}
+    for did, tf in per_doc.items():
+        s = 0
+        for b, n in tf.items():
+            lr = math.floor(
+                (math.log((ct.get(b, 0) + 1.0) / (nt + float(B)))
+                 - math.log((cr[b] + 1.0) / (nr + float(B)))) * 1e6 + 0.5
+            )
+            s += lr * n
+        expected[did] = (sum(tf.values()), s)
+
+    df = spark.createDataFrame(
+        [(d, t, g) for d, t, g in docs],
+        "doc_id long, text string, is_target boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw_e6"])
+        for r in dsir_weights(df, n_buckets=B).collect()
+    }
+    assert got == expected
+    # target-language doc outweighs the off-target doc
+    assert got[0][1] > got[2][1]
