@@ -136,6 +136,9 @@ HEADLINE = [
     "cusum_breaks",
     "mixture_sample",
     "mixture_tokens",
+    "laea_reproject",
+    "semdedup",
+    "dsir_select",
 ]
 
 
