@@ -2387,6 +2387,53 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_stream_locf_equiv(spark, sf):
+    """Streaming/batch LOCF-tier twin contract as a driver row: replay the
+    deduped series in 3 day-ordered micro-batches through the stateful
+    grid-filler (state = origin/next-due/last-value per series) and diff
+    its emitted grid against the batch locf_3d window form — EXPECTED
+    EMPTY. No arithmetic is involved (pure carry-forward), so the twin
+    match is bit-exact; the oracle is the matching empty relation."""
+    import tempfile
+
+    from sits_classification_spark.streaming.rollup import streaming_locf_grid
+
+    s = _series(spark, sf)
+    batch = q_locf_3d(spark, sf).select(
+        "doc_id", "grid_day", F.round("value", 6).alias("value")
+    )
+
+    stream_dir = os.path.join(tempfile.mkdtemp(prefix="locf_equiv_"), "src")
+    rows = s.orderBy("day", "doc_id").collect()
+    n = len(rows)
+    for i in range(3):
+        part = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(
+            part, schema="doc_id long, day long, value double"
+        ).coalesce(1).write.mode("append" if i else "overwrite").parquet(
+            stream_dir
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, day long, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stream_dir)
+    )
+    q = (
+        streaming_locf_grid(stream, step=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("locf_equiv_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("locf_equiv_stream").select(
+        "doc_id", "grid_day", F.round("value", 6).alias("value")
+    )
+    return got.exceptAll(batch).unionAll(batch.exceptAll(got))
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     within each cell drop the centroid-nearer member of every cosine >=
@@ -2536,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "stream_locf_equiv": q_stream_locf_equiv,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4500,6 +4548,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(x3035 * 100.0 + 0.5) AS BIGINT) AS x_cm,
                    CAST(floor(y3035 * 100.0 + 0.5) AS BIGINT) AS y_cm
             FROM laea
+        """,
+        "stream_locf_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS grid_day,
+                   CAST(NULL AS DOUBLE) AS value
+            WHERE 1 = 0
         """,
         "semdedup": f"""
             WITH {_kmeans_ctes(8, 3)},

@@ -379,3 +379,57 @@ def streaming_cusum_scores(
     return scores.select("user_id", "day", "z").groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_locf_grid(series: DataFrame, step: int = 3) -> DataFrame:
+    """Streaming twin of the W1 LOCF tier (q_locf_3d / gapfill LOCF onto a
+    step-day grid): per-series state carries (grid origin, next due grid
+    day, last observed value) across micro-batches, and each batch emits
+    every grid point that has become DUE (grid_day <= newest observed day),
+    valued by last-observation-carried-forward. Replaying a series
+    day-ordered therefore reproduces the batch grid bit-for-bit: the grid
+    starts at the first observed day and an observation ON a grid day is
+    included (matching the batch window's (day, is_grid) order).
+
+    State is three scalars per series — bounded regardless of stream
+    length. Within a batch the fill is one numpy searchsorted against the
+    batch's observation days (no per-row Python); the carry-in value covers
+    grid days due before this batch's first observation.
+
+    Emits (doc_id, grid_day, value); each grid day is emitted exactly once
+    across the stream (update mode, append-like by construction)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "doc_id long, grid_day long, value double"
+    state_schema = "origin long, next_day long, last_val double"
+
+    def fn(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame(columns=["doc_id", "grid_day", "value"])
+            return
+        pdf = pdf.sort_values("day")
+        days = pdf["day"].to_numpy(dtype=np.int64)
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if state.exists:
+            origin, next_day, last_val = state.get
+        else:
+            origin, next_day, last_val = int(days[0]), int(days[0]), float("nan")
+        due = np.arange(next_day, days.max() + 1, step, dtype=np.int64)
+        idx = np.searchsorted(days, due, side="right") - 1
+        filled = np.where(idx >= 0, vals[np.clip(idx, 0, None)], last_val)
+        state.update(
+            (int(origin), int(due[-1] + step) if len(due) else int(next_day),
+             float(vals[-1]))
+        )
+        yield pd.DataFrame(
+            {"doc_id": key[0], "grid_day": due, "value": filled}
+        )
+
+    return series.select("doc_id", "day", "value").groupBy(
+        "doc_id"
+    ).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -363,3 +363,36 @@ def test_byte_stats_batch_boundary_independent(spark):
     assert row[2] == len(payload)
     assert row[3] == payload[0] and row[4] == payload[-1]
     assert row[5] == sum(payload)
+
+
+def test_streaming_locf_grid_carries_across_batches(spark, tmpdir_session):
+    """A grid day that becomes due in batch 2 BEFORE batch 2's first
+    observation must be filled from batch 1's carried value."""
+    import os
+
+    from sits_classification_spark.streaming.rollup import streaming_locf_grid
+
+    d = os.path.join(tmpdir_session, "locf_stream_src")
+    # batch 1: obs at days 0 (v=1.0) and 2 (v=2.0); batch 2: day 7 (v=9.0)
+    spark.createDataFrame(
+        [(1, 0, 1.0), (1, 2, 2.0)], "doc_id long, day long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(1, 7, 9.0)], "doc_id long, day long, value double"
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("doc_id long, day long, value double")
+        .format("parquet").option("maxFilesPerTrigger", 1).load(d)
+    )
+    q = (
+        streaming_locf_grid(stream, step=3)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("locf_carry").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["grid_day"]: r["value"]
+        for r in spark.table("locf_carry").collect()
+    }
+    # grid 0 -> obs@0; grid 3 and 6 due in batch 2, BEFORE obs@7 -> carry 2.0
+    assert got == {0: 1.0, 3: 2.0, 6: 2.0}
