@@ -140,6 +140,14 @@ def semdedup(
 
     Returns (id, cell, qdist, keep) for every input vector."""
     cells = kmeans_embeddings(df, k, iters, vec_col, id_col)
+    # The self-join on `cell` injects an isnotnull(cell) constraint that
+    # Catalyst pushes BELOW the struct-staging projection, forcing a SECOND
+    # ArrowEvalPython evaluation of the assignment UDF per row (filter and
+    # project cannot share the UDF result). `cell` is never null (argmin
+    # always yields), so wrapping it in coalesce(cell, -1) lets
+    # NullPropagation fold the pushed constraint to `true` and the plan
+    # keeps ONE UDF evaluation per derivation.
+    cells = cells.withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))
     from pyspark.sql import Window
 
     vecs = df.select(
