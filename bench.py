@@ -139,6 +139,7 @@ HEADLINE = [
     "laea_reproject",
     "semdedup",
     "dsir_select",
+    "pq_topk",
 ]
 
 

@@ -65,17 +65,18 @@ def _assign_udf(C: np.ndarray):
     return udf
 
 
-def kmeans_embeddings(
+def lloyd_centroids(
     df: DataFrame,
     k: int = 8,
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Lloyd k-means: `iters` update rounds from the deterministic md5
-    seeds, then one final assignment. Returns (id, cell, qdist) with cell
-    in 0..k-1 and qdist the quantized squared distance to the final
-    centroid. Empty cells keep their previous centroid (both engines)."""
+) -> "np.ndarray":
+    """The Lloyd training loop alone: `iters` assignment/update rounds from
+    the deterministic md5 seeds, centroid components quantized to the 1e-6
+    grid each round (bit-identical across engines). Returns the (k, dim)
+    centroid matrix — the trainable shared by kmeans_embeddings and the
+    per-subspace product quantizer."""
     from sits_classification_spark.operators.similarity import ivf_centroids
 
     init = sorted(
@@ -99,6 +100,25 @@ def kmeans_embeddings(
         C = C.copy()
         for r in upd:
             C[r["cell"], r["pos"]] = math.floor(r["av"] * QUANT + 0.5) / QUANT
+    return C
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd k-means: `iters` update rounds from the deterministic md5
+    seeds, then one final assignment. Returns (id, cell, qdist) with cell
+    in 0..k-1 and qdist the quantized squared distance to the final
+    centroid. Empty cells keep their previous centroid (both engines)."""
+    C = lloyd_centroids(df, k, iters, vec_col, id_col)
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
     a = _assign_udf(C)
     # stage the UDF struct behind an alias: referencing a(vd) twice in one
     # projection can evaluate the Arrow-batched UDF twice per row
@@ -194,4 +214,145 @@ def semdedup(
         "cell",
         "qdist",
         F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Train the product quantizer (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dim-dimensional
+    space into m subspaces of dim/m components and run the deterministic
+    Lloyd loop (md5 seeds, 1e-6-quantized centroids — lloyd_centroids) in
+    each. Returns the m (ksub, dim/m) codebooks, held driver-side like the
+    IVF quantizer: m*ksub*(dim/m) = ksub*dim doubles ship with the plan
+    regardless of corpus size."""
+    d0 = dim // m
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return [
+        lloyd_centroids(
+            df.select(F.col(id_col), F.slice(vd, j * d0 + 1, d0).alias("subv")),
+            ksub,
+            iters,
+            vec_col="subv",
+            id_col=id_col,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as m sub-cell codes — ONE map-only pass: each
+    subspace's Arrow-batched argmin UDF runs on its slice in the same
+    projection (no joins between subspaces). Codes are the nearest
+    (quantized-distance, cell) codebook entry per subspace, identical to
+    the SQL oracle's per-subspace kmassign. Output: (id, c0..c{m-1})."""
+    d0 = codebooks[0].shape[1]
+    out = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    for j, C in enumerate(codebooks):
+        out = out.withColumn(
+            f"_a{j}", _assign_udf(C)(F.slice(F.col("vd"), j * d0 + 1, d0))
+        )
+    return out.select(
+        id_col,
+        *[F.col(f"_a{j}.cell").cast("int").alias(f"c{j}")
+          for j in range(len(codebooks))],
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: DataFrame,
+    codebooks: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation over PQ codes: estimated squared
+    distance from the (single-row) query to each encoded vector is the sum
+    of per-subspace distances query-subvector -> codebook[code], each
+    computed with the SAME vv - 2*dot + cc staged fold the k-means
+    assignment uses (quantized to integer micro-units, so the per-code
+    lookup values and their m-term sum are engine-exact bit-for-bit).
+
+    Plan: the FAISS shape — a (m*ksub)-row distance LUT is computed ONCE
+    per query (a tiny codebook relation crossJoined with the broadcast
+    query row; the distance folds run m*ksub times total, NOT per corpus
+    row), then the code table takes m broadcast LUT joins and an integer
+    m-term sum. No UDF, no per-row trig/fold expression blowup (a chained
+    per-row expression over every (subspace, cell) pair falls out of
+    whole-stage codegen); no shuffle until the final top-k. At 100 TB:
+    codes are m bytes/vector, the LUT broadcast is m*ksub longs."""
+    m = len(codebooks)
+    d0 = codebooks[0].shape[1]
+    spark = df.sparkSession
+    codes = pq_codes(df, codebooks, vec_col, id_col)
+    q = query.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qd"),
+        F.col(id_col).alias("query_id"),
+    )
+    cents = spark.createDataFrame(
+        [
+            (j, cell, [float(x) for x in C[cell]])
+            for j, C in enumerate(codebooks)
+            for cell in range(C.shape[0])
+        ],
+        "j int, cell int, cvec array<double>",
+    )
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qj = F.slice(F.col("qd"), F.col("j") * d0 + 1, F.lit(d0))
+    dist = (
+        fold_dot(qj, qj)
+        - 2.0 * fold_dot(qj, F.col("cvec"))
+        + fold_dot(F.col("cvec"), F.col("cvec"))
+    )
+    lut = cents.crossJoin(F.broadcast(q)).select(
+        "j",
+        "cell",
+        "query_id",
+        F.floor(dist * QUANT + F.lit(0.5)).cast("long").alias("d_e6"),
+    )
+    adc = None
+    out = codes
+    for j in range(m):
+        cols = [F.col("cell").alias(f"c{j}"), F.col("d_e6").alias(f"_d{j}")]
+        if j == 0:
+            cols.append(F.col("query_id"))
+        out = out.join(F.broadcast(lut.filter(F.col("j") == j).select(*cols)),
+                       f"c{j}")
+        term = F.col(f"_d{j}")
+        adc = term if adc is None else adc + term
+    scored = out.withColumn("adc_e6", adc).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, *[f"c{j}" for j in range(m)],
+                "adc_e6", "rank")
     )

@@ -419,3 +419,43 @@ def test_dsir_weights_match_hand_computation(spark):
     assert got == expected
     # target-language doc outweighs the off-target doc
     assert got[0][1] > got[2][1]
+
+
+def test_pq_adc_matches_reconstruction(spark):
+    """ADC(vec) must equal the (quantized) squared distance from the query
+    to the vector's codebook reconstruction, and every code must address a
+    real codebook row."""
+    import numpy as np
+
+    from sits_classification_spark.operators.clustering import (
+        pq_adc_topk,
+        pq_codes,
+        pq_train,
+    )
+
+    rng = [(i, [float(((i * 37 + j * 11) % 97) / 97.0) for j in range(16)])
+           for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    books = pq_train(df, dim=16, m=4, ksub=4, iters=2)
+    assert len(books) == 4 and all(b.shape == (4, 4) for b in books)
+    codes = {r["vec_id"]: [r[f"c{j}"] for j in range(4)]
+             for r in pq_codes(df, books).collect()}
+    assert all(0 <= c < 4 for cs in codes.values() for c in cs)
+
+    q = df.filter("vec_id = 0")
+    out = pq_adc_topk(df, q, books, k=39).collect()
+    V = {i: np.array(v, dtype=np.float64) for i, v in rng}
+    # float32 storage: compare against the float32-rounded vectors
+    V = {i: np.array(np.array(v, dtype=np.float32), dtype=np.float64)
+         for i, v in rng}
+    for r in out:
+        rec = np.concatenate([books[j][codes[r["vec_id"]][j]] for j in range(4)])
+        qv = V[0]
+        # per-subspace quantization, then the integer sum — mirror exactly
+        expect = sum(
+            int(np.floor(((qv[j * 4:(j + 1) * 4] - rec[j * 4:(j + 1) * 4]) ** 2).sum() * 1e6 + 0.5))
+            for j in range(4)
+        )
+        assert abs(r["adc_e6"] - expect) <= 4  # one ulp per subspace term
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: (r["adc_e6"], r["vec_id"]))]
+    assert ranks == sorted(ranks)
