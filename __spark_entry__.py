@@ -2387,6 +2387,72 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_lttb_points(spark, sf):
+    """LTTB visual/archive downsample (Steinarsson 2013) of every series to
+    12 shape-preserving points. The oracle unrolls the 10 sequential bucket
+    selections as CTEs (the Lloyd-unroll pattern); the triangle-area argmax
+    is compared through the count-scaled all-integer form, so selection is
+    engine-exact with no float tie risk."""
+    from sits_classification_spark.operators.downsample import lttb
+
+    s = _series(spark, sf)
+    return lttb(s, n_out=12).select(
+        "doc_id", F.col("day").cast("long").alias("day"), "value"
+    )
+
+
+def _lttb_oracle_sql(n_out: int = 12) -> str:
+    nb = n_out - 2
+    area = (
+        "abs((p.day*x.cnt - x.st)*(c.vq - p.vq)"
+        " - (p.day - c.day)*(x.svq - p.vq*x.cnt))"
+    )
+    sels = []
+    for i in range(nb):
+        prev = "firstp" if i == 0 else f"sel{i - 1}"
+        sels.append(
+            f"""sel{i} AS (SELECT doc_id, day, value, vq FROM (
+            SELECT c.doc_id, c.day, c.value, c.vq,
+                   row_number() OVER (PARTITION BY c.doc_id
+                                      ORDER BY {area} DESC, c.day ASC) AS rk
+            FROM cand c JOIN {prev} p USING (doc_id)
+                        JOIN nx x ON x.doc_id = c.doc_id AND x.i = {i}
+            WHERE c.b = {i}) WHERE rk = 1)"""
+        )
+    sel_union = " UNION ALL ".join(
+        f"SELECT doc_id, day, value FROM sel{i}" for i in range(nb)
+    )
+    return f"""
+        WITH s0 AS ({_SERIES_SQL}),
+        s AS (SELECT doc_id, day, value,
+                     CAST(floor(value*100 + 0.5) AS BIGINT) AS vq,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY day) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM s0),
+        shortp AS (SELECT doc_id, day, value FROM s WHERE n <= {n_out}),
+        firstp AS (SELECT doc_id, day, value, vq FROM s
+                   WHERE n > {n_out} AND rn = 1),
+        lastp AS (SELECT doc_id, day, value, vq FROM s
+                  WHERE n > {n_out} AND rn = n),
+        cand AS (SELECT doc_id, day, value, vq,
+                        ((rn - 2) * {nb}) // (n - 2) AS b
+                 FROM s WHERE n > {n_out} AND rn BETWEEN 2 AND n - 1),
+        nav AS (SELECT doc_id, b, count(*) AS cnt,
+                       sum(day) AS st, sum(vq) AS svq
+                FROM cand GROUP BY 1, 2),
+        nx AS (SELECT doc_id, b - 1 AS i, cnt, st, svq FROM nav WHERE b >= 1
+               UNION ALL
+               SELECT doc_id, {nb - 1} AS i, 1 AS cnt, day AS st, vq AS svq
+               FROM lastp),
+        {", ".join(sels)}
+        SELECT doc_id, CAST(day AS BIGINT) AS day, value FROM shortp
+        UNION ALL SELECT doc_id, CAST(day AS BIGINT), value FROM firstp
+        UNION ALL {sel_union.replace("SELECT doc_id, day, value",
+                                     "SELECT doc_id, CAST(day AS BIGINT), value")}
+        UNION ALL SELECT doc_id, CAST(day AS BIGINT), value FROM lastp
+    """
+
+
 def q_pq_topk(spark, sf):
     """Product quantization ANN (Jégou et al. 2011): train m=8 subspace
     codebooks (ksub=64, 2 Lloyd iters — deterministic md5 seeds, quantized
@@ -2614,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "stream_locf_equiv": q_stream_locf_equiv,
         "pq_topk": q_pq_topk,
+        "lttb_points": q_lttb_points,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4530,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_oracle_sql(),
         "kmeans_cells": _kmeans_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
+        "lttb_points": _lttb_oracle_sql(),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -140,6 +140,7 @@ HEADLINE = [
     "semdedup",
     "dsir_select",
     "pq_topk",
+    "lttb_points",
 ]
 
 

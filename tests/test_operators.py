@@ -482,3 +482,24 @@ def test_sma_affine_recovers_pure_mixtures():
                 x = rng.uniform(0.0, 1.0, size=6)  # arbitrary pixel
                 f = Pn @ x + cn
                 assert abs(f.sum() - 1.0) < 1e-10
+
+
+def test_lttb_preserves_endpoints_and_peaks(spark):
+    """LTTB keeps first/last points, returns short series whole, and keeps
+    an extreme spike (the largest-triangle property)."""
+    from sits_classification_spark.operators.downsample import lttb
+
+    rows = [(1, d, float(v)) for d, v in zip(range(40), [10.0] * 40)]
+    rows[20] = (1, 20, 500.0)              # lone spike must survive
+    rows += [(2, d, float(d)) for d in range(5)]   # short series: all kept
+    df = spark.createDataFrame(rows, "doc_id long, day long, value double")
+    out = lttb(df, n_out=8)
+    a = sorted(
+        (r["day"], r["value"])
+        for r in out.filter("doc_id = 1").collect()
+    )
+    assert len(a) == 8
+    assert a[0][0] == 0 and a[-1][0] == 39
+    assert (20, 500.0) in a
+    b = sorted(r["day"] for r in out.filter("doc_id = 2").collect())
+    assert b == [0, 1, 2, 3, 4]
