@@ -2387,6 +2387,59 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_seasonal_decompose(spark, sf):
+    """Classical weekly seasonal decomposition (centered-MA trend +
+    per-weekday indices) of every series; all-integer detrending makes the
+    indices engine-exact — see operators/decompose.py."""
+    from sits_classification_spark.operators.decompose import (
+        seasonal_decompose_weekday,
+    )
+
+    return seasonal_decompose_weekday(_series(spark, sf))
+
+
+_SEASONAL_ORACLE = f"""
+    WITH s0 AS ({{series}}),
+    b AS (SELECT doc_id, min(day) AS lo, max(day) AS hi FROM s0 GROUP BY 1),
+    grid AS (SELECT doc_id, unnest(generate_series(lo, hi, 1)) AS day,
+                    CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+             FROM b),
+    obs AS (SELECT doc_id, day, value, 0 AS is_grid FROM s0),
+    uni AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+    fl AS (SELECT doc_id, day, is_grid,
+                  last_value(value IGNORE NULLS) OVER (
+                      PARTITION BY doc_id ORDER BY day, is_grid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS locf
+           FROM uni),
+    daily AS (SELECT doc_id, day,
+                     CAST(floor(locf*100 + 0.5) AS BIGINT) AS vq
+              FROM fl WHERE is_grid = 1),
+    tw AS (SELECT doc_id, day, vq,
+                  sum(vq) OVER w7 AS ts7, count(*) OVER w7 AS n7
+           FROM daily
+           WINDOW w7 AS (PARTITION BY doc_id ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (SELECT doc_id, CAST((day + 4) % 7 AS INTEGER) AS weekday,
+                   7*vq - ts7 AS det700
+            FROM tw WHERE n7 = 7),
+    idx AS (SELECT doc_id, weekday,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   sum(det700) AS sd700
+            FROM det GROUP BY 1, 2),
+    se AS (SELECT doc_id, weekday, n_days,
+                  CAST(floor(CAST(sd700 AS DOUBLE) / (700.0 * n_days)
+                             * 1000000 + 0.5) AS BIGINT) AS s_e6
+           FROM idx)
+    SELECT doc_id, weekday, n_days, s_e6,
+           s_e6 - CAST(floor(CAST(sum(s_e6) OVER (PARTITION BY doc_id)
+                                  AS DOUBLE)
+                             / count(*) OVER (PARTITION BY doc_id))
+                       AS BIGINT) AS adj_e6
+    FROM se
+"""
+
+
 def q_lttb_points(spark, sf):
     """LTTB visual/archive downsample (Steinarsson 2013) of every series to
     12 shape-preserving points. The oracle unrolls the 10 sequential bucket
@@ -2681,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_locf_equiv": q_stream_locf_equiv,
         "pq_topk": q_pq_topk,
         "lttb_points": q_lttb_points,
+        "seasonal_decompose": q_seasonal_decompose,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4598,6 +4652,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "lttb_points": _lttb_oracle_sql(),
+        "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -141,6 +141,7 @@ HEADLINE = [
     "dsir_select",
     "pq_topk",
     "lttb_points",
+    "seasonal_decompose",
 ]
 
 

@@ -503,3 +503,22 @@ def test_lttb_preserves_endpoints_and_peaks(spark):
     assert (20, 500.0) in a
     b = sorted(r["day"] for r in out.filter("doc_id = 2").collect())
     assert b == [0, 1, 2, 3, 4]
+
+
+def test_seasonal_decompose_recovers_weekly_pattern(spark):
+    """A pure 7-periodic series decomposes to (adjusted) indices equal to
+    the pattern's zero-mean form; a constant series gives all-zero indices."""
+    from sits_classification_spark.operators.decompose import (
+        seasonal_decompose_weekday,
+    )
+
+    pat = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]  # mean 22.857...
+    rows = [(1, d, pat[(d + 4) % 7]) for d in range(28)]
+    rows += [(2, d, 50.0) for d in range(28)]
+    df = spark.createDataFrame(rows, "doc_id long, day long, value double")
+    out = {(r["doc_id"], r["weekday"]): r for r in seasonal_decompose_weekday(df).collect()}
+    mean = sum(pat) / 7
+    for wd in range(7):
+        got = out[(1, wd)]["adj_e6"] / 1e6
+        assert abs(got - (pat[wd] - mean)) < 2e-6, (wd, got)
+        assert out[(2, wd)]["s_e6"] == 0 and out[(2, wd)]["adj_e6"] == 0
