@@ -2387,6 +2387,56 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_ewma_level(spark, sf):
+    """Simple exponential smoothing (Brown 1956 SES; alpha=0.3) — the final
+    smoothed level per series via the closed weighted form
+    s_T = (1-a)^(T-1)·x_1 + sum_{t=2..T} a·(1-a)^(T-t)·x_t, initialized at
+    the first observation. alpha = 0.5, so every coefficient is an EXACT
+    power of two built by integer shift + one double division — libm pow
+    never runs (an alpha=0.3 draft lost 1 row in 150 to a cross-engine
+    pow ulp on a floor boundary). Each weighted term quantizes to integer
+    micro-units BEFORE the per-doc int64 sum (the unigram_logprob
+    pattern), so the result is engine-exact and aggregation-order-proof.
+    Pure windows + one hash aggregate on the doc exchange."""
+    s = _series(spark, sf)
+    wd = Window.partitionBy("doc_id")
+    w = wd.orderBy("day")
+    r = (
+        s.withColumn("t", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+    )
+    k = F.when(F.col("t") == 1, F.col("n") - 1).otherwise(
+        F.col("n") - F.col("t") + 1
+    )
+    coef = F.when(k >= 62, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(CASE WHEN t = 1 "
+                 "THEN n - 1 ELSE n - t + 1 END AS INT))")
+    )
+    term = F.floor(coef * F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return r.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.sum(term).cast("long").alias("ewma_e6"),
+    )
+
+
+_EWMA_ORACLE = """
+    WITH s0 AS ({series}),
+    r AS (SELECT doc_id, day, value,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY day) AS t,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s0)
+    SELECT doc_id, CAST(max(n) AS BIGINT) AS n_obs,
+           CAST(sum(CAST(floor(
+               (CASE WHEN (CASE WHEN t = 1 THEN n - 1 ELSE n - t + 1 END) >= 62
+                     THEN 0.0
+                     ELSE 1.0 / (CAST(1 AS BIGINT) <<
+                          (CASE WHEN t = 1 THEN n - 1 ELSE n - t + 1 END)) END)
+               * value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ewma_e6
+    FROM r GROUP BY doc_id
+"""
+
+
 def q_seasonal_decompose(spark, sf):
     """Classical weekly seasonal decomposition (centered-MA trend +
     per-weekday indices) of every series; all-integer detrending makes the
@@ -2735,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "lttb_points": q_lttb_points,
         "seasonal_decompose": q_seasonal_decompose,
+        "ewma_level": q_ewma_level,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4653,6 +4704,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_oracle_sql(),
         "lttb_points": _lttb_oracle_sql(),
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
+        "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

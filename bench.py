@@ -142,6 +142,7 @@ HEADLINE = [
     "pq_topk",
     "lttb_points",
     "seasonal_decompose",
+    "ewma_level",
 ]
 
 
