@@ -229,22 +229,63 @@ def pq_train(
     """Train the product quantizer (Jégou, Douze & Schmid 2011, "Product
     Quantization for Nearest Neighbor Search"): split the dim-dimensional
     space into m subspaces of dim/m components and run the deterministic
-    Lloyd loop (md5 seeds, 1e-6-quantized centroids — lloyd_centroids) in
-    each. Returns the m (ksub, dim/m) codebooks, held driver-side like the
-    IVF quantizer: m*ksub*(dim/m) = ksub*dim doubles ship with the plan
-    regardless of corpus size."""
+    Lloyd loop (md5 seeds, 1e-6-quantized centroids — the lloyd_centroids
+    recurrence) in each. Returns the m (ksub, dim/m) codebooks, held
+    driver-side like the IVF quantizer: m*ksub*(dim/m) = ksub*dim doubles
+    ship with the plan regardless of corpus size.
+
+    All m subspaces train TOGETHER: the md5 seed rows are the same k
+    vectors for every subspace (the seed key hashes vec_id, not the
+    vector), so ONE collect seeds all m codebooks, and each Lloyd
+    iteration runs the m assignment UDFs in one projection feeding one
+    (subspace, cell, pos) update aggregate — iters+1 Spark jobs total
+    instead of m*(iters+1) (the naive per-subspace loop measured 21.7 s at
+    sf0.1, almost all fixed job overhead)."""
+    from sits_classification_spark.operators.similarity import ivf_centroids
+
     d0 = dim // m
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return [
-        lloyd_centroids(
-            df.select(F.col(id_col), F.slice(vd, j * d0 + 1, d0).alias("subv")),
-            ksub,
-            iters,
-            vec_col="subv",
-            id_col=id_col,
-        )
+    seed_rows = sorted(
+        (r["cid"], list(r["cvec"]))
+        for r in ivf_centroids(df, ksub, vec_col, id_col).collect()
+    )
+    books = [
+        np.array([cv[j * d0 : (j + 1) * d0] for _cid, cv in seed_rows],
+                 dtype=np.float64)
         for j in range(m)
     ]
+    base = df.select(F.col(id_col), vd.alias("vd"))
+    for _ in range(iters):
+        assigned = base
+        for j, C in enumerate(books):
+            assigned = assigned.withColumn(
+                f"_a{j}",
+                _assign_udf(C)(F.slice(F.col("vd"), j * d0 + 1, d0))["cell"],
+            )
+        upd = (
+            assigned.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"_a{j}").alias("cell"),
+                            F.slice(F.col("vd"), j * d0 + 1, d0).alias("sv"),
+                        )
+                        for j in range(m)
+                    ])
+                ).alias("s")
+            )
+            .select("s.j", "s.cell", F.posexplode("s.sv").alias("pos", "v"))
+            .groupBy("j", "cell", "pos")
+            .agg(F.avg("v").alias("av"))
+            .collect()
+        )
+        books = [C.copy() for C in books]
+        for r in upd:
+            books[r["j"]][r["cell"], r["pos"]] = (
+                math.floor(r["av"] * QUANT + 0.5) / QUANT
+            )
+    return books
 
 
 def pq_codes(
