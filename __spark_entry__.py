@@ -2387,6 +2387,97 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_mad_outliers(spark, sf):
+    """Robust per-series anomaly screen: median + MAD (median absolute
+    deviation), flagging |v - median| > 3σ with σ = 1.4826·MAD (the
+    normal-consistency constant; Hampel's rule). Medians are exact and
+    all-integer — value quantizes to hundredths and both medians carry as
+    lower+upper mid-rank SUMS (med200 = 200·median, mad2x = 400·MAD), so
+    the only float op is the single threshold multiply, identical text in
+    the oracle. Two rank windows + two aggregates, all riding the one
+    doc_id exchange. Output: per-series medians and the outlier count."""
+    s = _series(spark, sf)
+    wd = Window.partitionBy("doc_id")
+    r = (
+        s.withColumn("vq", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .withColumn("rn", F.row_number().over(wd.orderBy("vq", "day")))
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+    )
+    lo, hi = F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
+    med = r.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("vq")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("vq")).otherwise(0))
+        ).alias("med200"),
+        F.max("n").cast("long").alias("n_obs"),
+    )
+    d = (
+        r.join(med, "doc_id")
+        .withColumn("dev200", F.abs(2 * F.col("vq") - F.col("med200")))
+        .withColumn("drn", F.row_number().over(wd.orderBy("dev200", "day")))
+    )
+    mad = d.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("drn") == lo, F.col("dev200")).otherwise(0))
+            + F.sum(F.when(F.col("drn") == hi, F.col("dev200")).otherwise(0))
+        ).alias("mad2x"),
+    )
+    out = (
+        d.join(mad, "doc_id")
+        .withColumn(
+            "is_out",
+            (
+                F.col("dev200").cast("double")
+                > F.lit(3 * 1.4826 / 2.0) * F.col("mad2x")
+            ).cast("int"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("med200").alias("med200"),
+            F.max("mad2x").alias("mad2x"),
+            F.max("n").cast("long").alias("n_obs"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+        )
+    )
+    return out
+
+
+_MAD_C = 3 * 1.4826 / 2.0
+
+_MAD_ORACLE = f"""
+    WITH s0 AS ({{series}}),
+    r AS (SELECT doc_id, day, value,
+                 CAST(floor(value*100 + 0.5) AS BIGINT) AS vq,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY CAST(floor(value*100 + 0.5)
+                                                  AS BIGINT), day) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s0),
+    med AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN vq ELSE 0 END)
+                        + sum(CASE WHEN rn = (n + 2) // 2 THEN vq ELSE 0 END)
+                        AS BIGINT) AS med200,
+                   CAST(max(n) AS BIGINT) AS n_obs
+            FROM r GROUP BY doc_id),
+    d AS (SELECT r.doc_id, r.n, abs(2*r.vq - med.med200) AS dev200,
+                 row_number() OVER (PARTITION BY r.doc_id
+                                    ORDER BY abs(2*r.vq - med.med200),
+                                             r.day) AS drn
+          FROM r JOIN med USING (doc_id)),
+    mad AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN drn = (n + 1) // 2 THEN dev200 ELSE 0 END)
+                        + sum(CASE WHEN drn = (n + 2) // 2 THEN dev200 ELSE 0 END)
+                        AS BIGINT) AS mad2x
+            FROM d GROUP BY doc_id)
+    SELECT d.doc_id, max(med.med200) AS med200, max(mad.mad2x) AS mad2x,
+           max(med.n_obs) AS n_obs,
+           CAST(sum(CASE WHEN CAST(dev200 AS DOUBLE) > {_MAD_C!r} * mad.mad2x
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN med USING (doc_id) JOIN mad USING (doc_id)
+    GROUP BY d.doc_id
+"""
+
+
 def q_ewma_level(spark, sf):
     """Simple exponential smoothing (Brown 1956 SES; alpha=0.3) — the final
     smoothed level per series via the closed weighted form
@@ -2786,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_points": q_lttb_points,
         "seasonal_decompose": q_seasonal_decompose,
         "ewma_level": q_ewma_level,
+        "mad_outliers": q_mad_outliers,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4705,6 +4797,7 @@ def oracle_sql() -> dict[str, str]:
         "lttb_points": _lttb_oracle_sql(),
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
+        "mad_outliers": _MAD_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

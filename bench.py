@@ -143,6 +143,7 @@ HEADLINE = [
     "lttb_points",
     "seasonal_decompose",
     "ewma_level",
+    "mad_outliers",
 ]
 
 

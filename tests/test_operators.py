@@ -522,3 +522,25 @@ def test_seasonal_decompose_recovers_weekly_pattern(spark):
         got = out[(1, wd)]["adj_e6"] / 1e6
         assert abs(got - (pat[wd] - mean)) < 2e-6, (wd, got)
         assert out[(2, wd)]["s_e6"] == 0 and out[(2, wd)]["adj_e6"] == 0
+
+
+def test_mad_outliers_flags_spike_robustly(spark):
+    """A lone spike is flagged; the median/MAD stay at the bulk values
+    (robustness — a mean/std screen would be dragged by the spike)."""
+    import __spark_entry__ as e
+
+    rows = [(1, d, 10.0 + (d % 3) * 0.1) for d in range(21)]
+    rows[10] = (1, 10, 999.0)
+    df = spark.createDataFrame(rows, "doc_id long, day long, value double")
+    # drive the same logic through the operator body (monkey series)
+    import types
+
+    orig = e._series
+    try:
+        e._series = lambda spark_, sf_: df
+        out = e.q_mad_outliers(spark, "unused").collect()[0]
+    finally:
+        e._series = orig
+    assert out["med200"] == 2020  # median 10.1 -> 200*10.1
+    assert out["n_outliers"] == 1
+    assert out["mad2x"] == 40     # MAD 0.1 -> 400*0.1
