@@ -2387,6 +2387,46 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_fold_ohlc(spark, sf):
+    """OHLC monthly fold — the candlestick flavor of the A2 fold menu:
+    per (series, month) the first/last values by day plus min/max.
+    Open/close use min_by/max_by with the (day, value) struct so
+    duplicate-day ties (already deduped upstream, but contractually) and
+    engine argmin ties are pinned by the full ordering key."""
+    s = _series(spark, sf)
+    month = F.expr("CAST(day DIV 30 AS BIGINT)")
+    return (
+        s.groupBy("doc_id", month.alias("m30"))
+        .agg(
+            F.min(F.struct("day", "value")).alias("_o"),
+            F.max(F.struct("day", "value")).alias("_c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .select(
+            "doc_id",
+            "m30",
+            F.col("_o.value").alias("open"),
+            "high",
+            "low",
+            F.col("_c.value").alias("close"),
+            "n_obs",
+        )
+    )
+
+
+_OHLC_ORACLE = """
+    WITH s0 AS ({series})
+    SELECT doc_id, CAST(day // 30 AS BIGINT) AS m30,
+           arg_min(value, day) AS open,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, day) AS close,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM s0 GROUP BY 1, 2
+"""
+
+
 def q_mad_outliers(spark, sf):
     """Robust per-series anomaly screen: median + MAD (median absolute
     deviation), flagging |v - median| > 3σ with σ = 1.4826·MAD (the
@@ -2878,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "ewma_level": q_ewma_level,
         "mad_outliers": q_mad_outliers,
+        "fold_ohlc": q_fold_ohlc,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4798,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
         "mad_outliers": _MAD_ORACLE.format(series=_SERIES_SQL),
+        "fold_ohlc": _OHLC_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

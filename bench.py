@@ -144,6 +144,7 @@ HEADLINE = [
     "seasonal_decompose",
     "ewma_level",
     "mad_outliers",
+    "fold_ohlc",
 ]
 
 
