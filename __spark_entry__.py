@@ -2387,6 +2387,99 @@ def q_shapefile_roundtrip(spark, sf):
     return got.exceptAll(exp).unionAll(exp.exceptAll(got))
 
 
+def q_psi_drift(spark, sf):
+    """Population Stability Index per series — the standard drift screen
+    for training-data monitoring: split each series at its (exact integer)
+    median day, histogram values into 10 fixed bins, and compute
+    PSI = sum_i (p_i - q_i)·ln(p_i/q_i) with add-one smoothing. Bin
+    counts, totals, and the early/late split are all-integer; each bin
+    term quantizes to micro-units before the 10-term int sum (ln ulp
+    exposure ~1e-12 per floor at these magnitudes). PSI > 0.2 (the
+    conventional action threshold) flags as drifted — an integer compare.
+    Two aggregates + one mid-rank window on the doc exchange."""
+    s = _series(spark, sf)
+    wd = Window.partitionBy("doc_id")
+    r = (
+        s.withColumn("rn", F.row_number().over(wd.orderBy("day")))
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+    )
+    lo, hi = F.expr("(n + 1) DIV 2"), F.expr("(n + 2) DIV 2")
+    med = r.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("day")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("day")).otherwise(0))
+        ).alias("md2")
+    )
+    binc = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10).cast("int"))
+    )
+    h = (
+        r.join(med, "doc_id")
+        .withColumn("early", (2 * F.col("day") <= F.col("md2")).cast("int"))
+        .groupBy("doc_id", binc.alias("bin"))
+        .agg(
+            F.sum("early").alias("a"),
+            F.sum(1 - F.col("early")).alias("b"),
+        )
+    )
+    tot = h.groupBy("doc_id").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    p = (F.col("a") + 1).cast("double") / (F.col("na") + 10)
+    q = (F.col("b") + 1).cast("double") / (F.col("nb") + 10)
+    term = F.floor((p - q) * F.log(p / q) * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        h.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("na").cast("long").alias("n_early"),
+            F.max("nb").cast("long").alias("n_late"),
+            F.sum(term).cast("long").alias("psi_e6"),
+        )
+        .withColumn("drifted", (F.col("psi_e6") > 200000).cast("int"))
+    )
+
+
+_PSI_ORACLE = """
+    WITH s0 AS ({series}),
+    r AS (SELECT doc_id, day, value,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY day) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s0),
+    med AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN day ELSE 0 END)
+                        + sum(CASE WHEN rn = (n + 2) // 2 THEN day ELSE 0 END)
+                        AS BIGINT) AS md2
+            FROM r GROUP BY doc_id),
+    h AS (SELECT r.doc_id,
+                 least(9, greatest(0, CAST(floor(value / 10) AS INTEGER)))
+                   AS bin,
+                 CAST(sum(CASE WHEN 2*r.day <= med.md2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN 2*r.day <= med.md2 THEN 0 ELSE 1 END)
+                      AS BIGINT) AS b
+          FROM r JOIN med USING (doc_id) GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS na,
+                   CAST(sum(b) AS BIGINT) AS nb
+            FROM h GROUP BY doc_id)
+    SELECT h.doc_id, max(na) AS n_early, max(nb) AS n_late,
+           CAST(sum(CAST(floor(
+               (CAST(a + 1 AS DOUBLE) / (na + 10)
+                - CAST(b + 1 AS DOUBLE) / (nb + 10))
+               * ln((CAST(a + 1 AS DOUBLE) / (na + 10))
+                    / (CAST(b + 1 AS DOUBLE) / (nb + 10)))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_e6,
+           CAST(CASE WHEN CAST(sum(CAST(floor(
+               (CAST(a + 1 AS DOUBLE) / (na + 10)
+                - CAST(b + 1 AS DOUBLE) / (nb + 10))
+               * ln((CAST(a + 1 AS DOUBLE) / (na + 10))
+                    / (CAST(b + 1 AS DOUBLE) / (nb + 10)))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) > 200000
+                THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM h JOIN tot USING (doc_id) GROUP BY h.doc_id
+"""
+
+
 def q_fold_ohlc(spark, sf):
     """OHLC monthly fold — the candlestick flavor of the A2 fold menu:
     per (series, month) the first/last values by day plus min/max.
@@ -2919,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_level": q_ewma_level,
         "mad_outliers": q_mad_outliers,
         "fold_ohlc": q_fold_ohlc,
+        "psi_drift": q_psi_drift,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -4840,6 +4934,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
         "mad_outliers": _MAD_ORACLE.format(series=_SERIES_SQL),
         "fold_ohlc": _OHLC_ORACLE.format(series=_SERIES_SQL),
+        "psi_drift": _PSI_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -145,6 +145,7 @@ HEADLINE = [
     "ewma_level",
     "mad_outliers",
     "fold_ohlc",
+    "psi_drift",
 ]
 
 
