@@ -2612,7 +2612,7 @@ _MAD_ORACLE = f"""
 
 
 def q_ewma_level(spark, sf):
-    """Simple exponential smoothing (Brown 1956 SES; alpha=0.3) — the final
+    """Simple exponential smoothing (Brown 1956 SES; alpha=0.5) — the final
     smoothed level per series via the closed weighted form
     s_T = (1-a)^(T-1)·x_1 + sum_{t=2..T} a·(1-a)^(T-t)·x_t, initialized at
     the first observation. alpha = 0.5, so every coefficient is an EXACT

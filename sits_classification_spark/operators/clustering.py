@@ -134,12 +134,14 @@ def kmeans_embeddings(
 
 def semdedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 3,
     tau_e6: int = 950_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cell: int = 20_000,
+    target_cell: int = 5_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     embeddings (k-means above) and dropping, within each cluster, members
@@ -151,14 +153,26 @@ def semdedup(
     GREATER than (qdist_v, v_id) — i.e. every qualifying pair drops its
     centroid-nearer member, ties broken by id.
 
-    Scale posture: pair generation is confined to cells (the paper runs
-    k ~ 1e5 so cells stay small; here k is a parameter), and cells larger
-    than `max_cell` are excluded from pairing by a window count riding the
-    SAME cell-keyed exchange the self-join needs (the hot-bucket cap
-    pattern of similarity.embedding_near_dups). Norms and double-cast
-    vectors are computed once per side BEFORE the join.
+    Scale posture: pair generation is confined to cells. The paper's
+    regime keeps cells small by scaling k with the corpus (k ~ 1e5 at
+    LAION scale); pass ``k=None`` to get that automatically —
+    k = ceil(n / target_cell) from one count, so cells average
+    ``target_cell`` members at ANY corpus size and a 100 TB run cannot
+    silently land most of the corpus in a handful of giant cells.
+    Cells larger than `max_cell` are still EXCLUDED from pairing
+    (their members all keep=true); the cap is a driver-side decision
+    over the k-row cell histogram (one `groupBy(cell).count` hash-
+    aggregate — map-side partials absorb a hot cell, no window partition
+    ever scans a whole cell on one task), and the exclusion is LOUD: pass
+    ``stats={}`` to receive {n_rows, n_cells, k, excluded_cells,
+    excluded_rows, excluded_frac} — a near-1.0 excluded_frac means the
+    dedup was a no-op and k/max_cell need revisiting. Norms and
+    double-cast vectors are computed once per side BEFORE the join.
 
     Returns (id, cell, qdist, keep) for every input vector."""
+    if k is None:
+        n_rows = df.count()
+        k = max(1, -(-n_rows // max(1, target_cell)))
     cells = kmeans_embeddings(df, k, iters, vec_col, id_col)
     # The self-join on `cell` injects an isnotnull(cell) constraint that
     # Catalyst pushes BELOW the struct-staging projection, forcing a SECOND
@@ -168,8 +182,22 @@ def semdedup(
     # NullPropagation fold the pushed constraint to `true` and the plan
     # keeps ONE UDF evaluation per derivation.
     cells = cells.withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))
-    from pyspark.sql import Window
-
+    hist = {
+        r["cell"]: r["_n"]
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    hot = {c for c, n in hist.items() if n > max_cell}
+    total = sum(hist.values())
+    excluded_rows = sum(hist[c] for c in hot)
+    if stats is not None:
+        stats.update(
+            n_rows=total,
+            n_cells=len(hist),
+            k=k,
+            excluded_cells=len(hot),
+            excluded_rows=excluded_rows,
+            excluded_frac=(excluded_rows / total) if total else 0.0,
+        )
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
@@ -183,9 +211,11 @@ def semdedup(
             )
         ),
     )
-    side = cells.join(vecs, id_col).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    ).filter(F.col("_n") <= max_cell).drop("_n")
+    side = cells.join(vecs, id_col)
+    if hot:
+        # hot-cell exclusion as a literal filter (the histogram is k rows,
+        # driver-held like the centroids) — no window, no second exchange
+        side = side.filter(~F.col("cell").isin(sorted(hot)))
     l, r = side.alias("l"), side.alias("r")
     dot = F.aggregate(
         F.zip_with(F.col("l.vd"), F.col("r.vd"), lambda a, b: a * b),
@@ -324,7 +354,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric Distance Computation over PQ codes: estimated squared
-    distance from the (single-row) query to each encoded vector is the sum
+    distance from each query row to each encoded vector is the sum
     of per-subspace distances query-subvector -> codebook[code], each
     computed with the SAME vv - 2*dot + cc staged fold the k-means
     assignment uses (quantized to integer micro-units, so the per-code
@@ -376,11 +406,17 @@ def pq_adc_topk(
     adc = None
     out = codes
     for j in range(m):
-        cols = [F.col("cell").alias(f"c{j}"), F.col("d_e6").alias(f"_d{j}")]
-        if j == 0:
-            cols.append(F.col("query_id"))
+        cols = [
+            F.col("cell").alias(f"c{j}"),
+            F.col("query_id"),
+            F.col("d_e6").alias(f"_d{j}"),
+        ]
+        # j=0 fans each code row out per query; j>=1 MUST key on query_id
+        # too, or a multi-row `query` duplicates LUT rows per cell and
+        # silently cross-sums distances across queries
+        keys = [f"c{j}"] if j == 0 else [f"c{j}", "query_id"]
         out = out.join(F.broadcast(lut.filter(F.col("j") == j).select(*cols)),
-                       f"c{j}")
+                       keys)
         term = F.col(f"_d{j}")
         adc = term if adc is None else adc + term
     scored = out.withColumn("adc_e6", adc).filter(

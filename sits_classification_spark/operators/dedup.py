@@ -95,12 +95,18 @@ def minhash_lsh_pairs(
     Hot-bucket guard: a doc duplicated n times puts n ids in one band bucket
     and an uncapped join yields n² candidate pairs — one viral doc stalls the
     whole stage. Buckets larger than `max_bucket` are dropped BEFORE any pair
-    is generated. The cap is a window count over the (band, bh) partition —
-    it rides the same single shuffle the posting-list aggregate needs
-    (Catalyst reuses the partitioning, no second exchange), filters hot rows
-    before the collect_list so the aggregation buffer stays bounded, and
-    crucially computes the minhash signatures ONCE (a separate count
-    pre-pass doubled the signature stage — measured 5.8s -> 3s at sf0.1).
+    is generated. The cap is a `groupBy(band, bh).count` HASH-AGGREGATE
+    joined back onto the banded stream (the dup_spans pattern): map-side
+    partial aggregation absorbs a boilerplate-hot bucket — every map task
+    contributes ONE counter per bucket it sees — so no single task ever
+    scans all occurrences of a hot key the way a
+    `count(*) over (partition by band, bh)` window partition would (the
+    window form rode one fewer derivation of the signature stage but
+    serialized the hot bucket on one task — a guaranteed straggler at
+    100 TB; the join-back's build side is one row per surviving bucket and
+    AQE's skew-join splits a hot probe partition). Keys with fewer than 2
+    docs are dropped in the same pass (singleton buckets pair with nothing),
+    which shrinks the join's build side to the tiny near-dup tail.
     Mass-duplicated content is exact-dup territory; run exact_dedup first
     and feed LSH the survivors.
 
@@ -119,14 +125,16 @@ def minhash_lsh_pairs(
     exploded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    wb = Window.partitionBy("band", "bh")
-    pruned = exploded.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
-        F.col("_n") <= max_bucket
+    keep = (
+        exploded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("band", "bh")
     )
     buckets = (
-        pruned.groupBy("band", "bh")
+        exploded.join(keep, ["band", "bh"])
+        .groupBy("band", "bh")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
         .select(F.array_sort("ds").alias("ds"))
     )
     return (
@@ -331,10 +339,19 @@ def _ngram_pair_intersections(
     df: DataFrame, n: int, text_col: str, max_shingle_df: int
 ):
     """Shared candidate-pair machinery for the n-gram similarity family:
-    distinct 60-bit shingle sets -> df-capped inverted index (window count
-    riding the posting-list exchange) -> in-bucket ordered pairs generated
-    JVM-side -> per-pair intersection counts. Returns (inter, sizes_a,
-    sizes_b) where inter has (doc_a, doc_b, inter) with doc_a < doc_b."""
+    distinct 60-bit shingle sets -> df-capped inverted index -> in-bucket
+    ordered pairs generated JVM-side -> per-pair intersection counts.
+    Returns (inter, sizes_a, sizes_b) where inter has (doc_a, doc_b,
+    inter) with doc_a < doc_b.
+
+    The df cap is a `groupBy(sh).count` hash-aggregate joined back onto
+    the inverted index (the dup_spans pattern, dedup.dup_spans): a
+    stop-shingle present in most documents costs each map task one
+    counter — never a single-task `count(*) over (partition by sh)`
+    window partition that would scan every posting of the hot shingle on
+    one task before the filter fires. Shingles with df < 2 are dropped in
+    the same pass (they pair with nothing), so the join's build side is
+    only the shared-shingle tail."""
     wdf = df.select("doc_id", words(text_col).alias("w")).filter(
         F.size("w") >= n
     )
@@ -348,14 +365,19 @@ def _ngram_pair_intersections(
     inv = shingled.select("doc_id", F.explode("shingles").alias("sh"))
     # df cap BEFORE the posting-list aggregate: collecting first and
     # filtering after would buffer the full hot-shingle doc list in one
-    # aggregation buffer — the exact skew blowup the cap exists to prevent
-    wsh = Window.partitionBy("sh")
+    # aggregation buffer — the exact skew blowup the cap exists to prevent.
+    # groupBy absorbs a hot shingle map-side; the join-back keeps the
+    # posting aggregate's input bounded per key.
+    keep = (
+        inv.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df))
+        .select("sh")
+    )
     buckets = (
-        inv.withColumn("_df", F.count(F.lit(1)).over(wsh))
-        .filter(F.col("_df") <= max_shingle_df)
+        inv.join(keep, "sh")
         .groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") >= 2)
         .select(F.array_sort("ds").alias("ds"))
     )
     # all ordered pairs (a < b) within a bucket, generated JVM-side

@@ -309,19 +309,26 @@ def embedding_near_dups(
 
     Buckets larger than `max_bucket` are dropped before the self-join — an
     embedding duplicated n times lands n ids in one bucket and would emit n²
-    pairs. The cap is a window count over the bucket partition (one shuffle,
-    the n_planes*dim bucket projection is computed once per side instead of
-    twice more for a separate hot-key pass)."""
-    from pyspark.sql import Window
-
+    pairs. The cap is a `groupBy(bucket).count` hash-aggregate (map-side
+    partial absorbs a hot bucket — no single task ever scans every member
+    of a boilerplate bucket the way a `count(*) over (partition by bucket)`
+    window did) BROADCAST-joined back: bucket cardinality is bounded by
+    2^n_planes, so the keep-set is a tiny build side and the probe never
+    shuffles for the cap at all. Column pruning strips vd/vn from the
+    count side, so the recomputed derivation is just the n_planes·dim
+    bucket projection."""
     b = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
         srp_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     ).withColumn("vn", _norm(F.col("vd")))
-    b = b.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    b = b.join(F.broadcast(ok), "bucket")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, on="bucket")

@@ -249,25 +249,36 @@ def mixture_sample_tokens(
     over non-empty docs) the corpus is pre-pruned with cap_per_source at
     the literal cap max_target // min_mass — a doc at hash rank r has
     cum_toks >= r*min_mass, so no kept doc can sit past that rank, and the
-    literal cap pushes below the exchange. Pass ``min_mass=None`` for data
-    that may carry zero-mass rows (a zero-mass doc inside the budget is
-    kept by the running-sum rule but could be cut by the prune)."""
+    literal cap pushes below the exchange. The assumption is VALIDATED, not
+    trusted: the pre-pass that sizes the cap also reads min(weight_col),
+    and if any row's mass falls below ``min_mass`` the prune is SKIPPED
+    (unpruned path, identical results) rather than silently cutting a
+    zero-mass doc the running-sum rule would have kept. Pass
+    ``min_mass=None`` to opt out of the prune entirely."""
     c = df.groupBy(source_col).agg(
-        F.sum(weight_col).cast("long").alias("toks")
+        F.sum(weight_col).cast("long").alias("toks"),
+        F.min(weight_col).cast("long").alias("_minw"),
     )
     wall = Window.partitionBy()
     s = F.pow(F.col("toks").cast("double"), F.lit(float(temperature)))
     weight = F.round(s / F.sum(s).over(wall), 6)
     budget = F.lit(float(budget_frac)) * F.sum("toks").over(wall)
     plan = c.select(
-        source_col, F.floor(weight * budget).cast("long").alias("target_toks")
+        source_col,
+        F.floor(weight * budget).cast("long").alias("target_toks"),
+        "_minw",
     )
     base = df
     if min_mass is not None and min_mass >= 1:
-        max_target = plan.agg(F.max("target_toks")).first()[0] or 0
-        base = cap_per_source(
-            df, int(max_target) // int(min_mass), source_col, id_col
-        ).drop("rk")
+        lim = plan.agg(
+            F.max("target_toks").alias("mt"), F.min("_minw").alias("mw")
+        ).first()
+        max_target = lim["mt"] or 0
+        if lim["mw"] is not None and lim["mw"] >= min_mass:
+            base = cap_per_source(
+                df, int(max_target) // int(min_mass), source_col, id_col
+            ).drop("rk")
+    plan = plan.drop("_minw")
     h = F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string")))
     w = (
         Window.partitionBy(source_col)

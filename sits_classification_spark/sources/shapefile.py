@@ -106,10 +106,30 @@ def parse_dbf(data: bytes) -> list[dict[str, str]]:
 
 
 def detect_epsg(prj_text: str) -> int | None:
+    """Classify a .prj WKT as 3035 / 4326 / unknown. 3035 requires REAL
+    evidence — the AUTHORITY code or the full ETRS89-LAEA defining
+    parameter set (lat0=52, lon0=10, FE=4321000) — because
+    reproject_to_3035 passes 3035-tagged rows through UNMODIFIED: a
+    non-European LAEA CRS (e.g. EPSG:6931) or an unrelated WKT merely
+    containing the digits 3035 must return None (treated as
+    geographic-in-doubt), not silently skip reprojection with wrong
+    coordinates. The reference does a true CRS equality check before
+    skipping (force_class_utils.py:67-83); this mirrors it for the WKT
+    fields a dependency-free parser can see."""
     t = prj_text.upper()
-    if "3035" in t or "AZIMUTHAL_EQUAL_AREA" in t or "LAEA" in t:
+    import re
+
+    if re.search(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?3035"?\s*\]', t) or (
+        ("LAEA" in t or "AZIMUTHAL_EQUAL_AREA" in t or "LAMBERT_AZIMUTHAL" in t)
+        and re.search(r'"LATITUDE_OF_(CENTER|ORIGIN)"\s*,\s*52(\.0*)?\]', t)
+        and re.search(r'"LONGITUDE_OF_CENTER"|"CENTRAL_MERIDIAN"', t)
+        and re.search(r'(LONGITUDE_OF_CENTER|CENTRAL_MERIDIAN)"\s*,\s*10(\.0*)?\]', t)
+        and re.search(r'"FALSE_EASTING"\s*,\s*4321000(\.0*)?\]', t)
+    ):
         return 3035
-    if "4326" in t or "WGS_1984" in t or "WGS 84" in t or "GCS_WGS" in t:
+    if re.search(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?4326"?\s*\]', t) or (
+        "WGS_1984" in t or "WGS 84" in t or "GCS_WGS" in t
+    ):
         return 4326
     return None
 
@@ -171,8 +191,9 @@ def reproject_to_3035(df: DataFrame, x_col: str = "x", y_col: str = "y") -> Data
 
 
 def _dbf_fields(pdf: pd.DataFrame, cols: list[str]) -> list[tuple[str, str, int, int]]:
-    """(name, type, length, decimals): N 18.6 for floats, N 18.0 for ints,
-    C max-width for strings."""
+    """(name, type, length, decimals): N 19.6 for floats, N 19.0 for ints,
+    C max-width for strings (width 1 for a zero-row layer — max() of an
+    empty series is NaN, which is truthy, so the guard is explicit)."""
     out = []
     for c in cols:
         s = pdf[c]
@@ -181,7 +202,11 @@ def _dbf_fields(pdf: pd.DataFrame, cols: list[str]) -> list[tuple[str, str, int,
         elif pd.api.types.is_integer_dtype(s):
             out.append((c[:10], "N", 19, 0))
         else:
-            width = max(1, min(254, int(s.astype(str).str.len().max() or 1)))
+            width = (
+                max(1, min(254, int(s.astype(str).str.len().max())))
+                if len(s)
+                else 1
+            )
             out.append((c[:10], "C", width, 0))
     return out
 
