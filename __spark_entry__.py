@@ -13,9 +13,11 @@ testdata tables:
 
 Every oracle-checked query mirrors its DuckDB SQL **exactly** (same hash
 construction through md5, same arithmetic expression order, shared rounding)
-so value-hash comparison is deterministic. Engine-native queries without an
-ANSI-SQL equivalent (Gorilla round-trip, the fused mapInPandas cascade, ANN
-LSH) omit the oracle entry -> rows-only check.
+so value-hash comparison is deterministic — including the engine-native
+queries: the fused mapInPandas cascade is oracled through its quantized
+fold outputs, and the Gorilla round-trip through its closed-form expected
+row set (ok=true per generated doc), so the registry carries ZERO
+rows-only entries.
 """
 
 from __future__ import annotations
@@ -1184,6 +1186,133 @@ def _sma_oracle_sql() -> str:
     """
 
 
+def q_sma_nnls(spark, sf):
+    """C1 SMA_NON_NEG (TSA.prm:204, the last SMA option): EXACT
+    non-negative unmixing by active-set enumeration
+    (scalar.sma_nnls_maps) — with 3 endmembers the 8 candidate active
+    sets are precomputed affine maps, and the solve is a CASE over their
+    primal/dual feasibility predicates: scan-stage Column arithmetic,
+    no iterations, no UDF, and the DuckDB oracle spells the identical
+    literal sequence (an iterative Lawson-Hanson loop has a
+    data-dependent trip count no unrolled oracle can mirror).
+    active_set pins the chosen branch cross-engine; rmse_e6 is the
+    standard SMA model-quality band. Fractions are staged behind a
+    projection (SPARK-36718 pins non-cheap multiply-referenced aliases)
+    so the rmse does not re-expand the CASE 18 more times — the same
+    shape as the oracle's f CTE."""
+    from sits_classification_spark.functions import scalar as X
+
+    li = _read(spark, sf, "lineitem")
+    maps = X.sma_nnls_maps(_SMA_E)
+    staged = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        *[b.alias(n) for n, b in zip(_SMA_BANDS, _sma_band_cols())],
+    )
+    bcols = [F.col(n) for n in _SMA_BANDS]
+    fr, sel = X.sma_nnls_fractions(bcols, maps)
+    withf = staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        *_SMA_BANDS,
+        fr[0].alias("_f0"),
+        fr[1].alias("_f1"),
+        fr[2].alias("_f2"),
+        sel.alias("active_set"),
+    )
+    fcols = [F.col("_f0"), F.col("_f1"), F.col("_f2")]
+    rmse = X.sma_rmse([F.col(n) for n in _SMA_BANDS], fcols, _SMA_E)
+
+    def q6(col):
+        return F.floor(col * 1000000 + F.lit(0.5)).cast("long")
+
+    return withf.select(
+        "l_orderkey",
+        "l_linenumber",
+        q6(F.col("_f0")).alias("f_veg_e6"),
+        q6(F.col("_f1")).alias("f_soil_e6"),
+        q6(F.col("_f2")).alias("f_water_e6"),
+        "active_set",
+        q6(rmse).alias("rmse_e6"),
+    )
+
+
+def _sma_nnls_oracle_sql() -> str:
+    """Mirror of q_sma_nnls: the same enumerated affine maps (from the
+    same sma_nnls_maps call), the same left-to-right literal
+    accumulation, the same CASE probe order."""
+    from sits_classification_spark.functions.scalar import sma_nnls_maps
+
+    maps = sma_nnls_maps(_SMA_E)
+
+    from sits_classification_spark.functions.scalar import NNLS_EPS
+
+    eps = f"-{NNLS_EPS!r}"
+
+    def aff(row):
+        e = "0.0"
+        for w, b in zip(row, _SMA_BANDS):
+            e = f"({e} + {float(w)!r}*{b})"
+        return e
+
+    def valid(S, P, W):
+        conds = ["TRUE"]
+        for i in S:
+            conds.append(f"({aff(P[i])} >= {eps})")
+        for j in range(3):
+            if j not in S:
+                conds.append(f"({aff(W[j])} >= {eps})")
+        out = conds[0]
+        for c in conds[1:]:
+            out = f"({out} AND {c})"
+        return out
+
+    def case_frac(i):
+        arms = "".join(
+            f" WHEN {valid(S, P, W)} THEN {aff(P[i])}" for S, P, W in maps
+        )
+        return f"greatest(0.0, CASE{arms} ELSE {aff(maps[0][1][i])} END)"
+
+    sel_arms = "".join(
+        f" WHEN {valid(S, P, W)} THEN {idx}"
+        for idx, (S, P, W) in enumerate(maps)
+    )
+    case_sel = f"CAST(CASE{sel_arms} ELSE -1 END AS BIGINT)"
+
+    total = "0.0"
+    for b_idx, b in enumerate(_SMA_BANDS):
+        model = "0.0"
+        for i in range(3):
+            model = f"({model} + {float(_SMA_E[b_idx][i])!r}*_f{i})"
+        total = f"({total} + ({b} - {model})*({b} - {model}))"
+    rmse = f"sqrt({total} / 6.0)"
+
+    def q6(x):
+        return f"CAST(floor(({x})*1000000 + 0.5) AS BIGINT)"
+
+    return f"""
+        WITH b AS (
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   l_quantity/60.0 AS blue,
+                   l_discount + 0.05 AS green,
+                   l_tax + 0.03 AS red,
+                   l_extendedprice/120000.0 AS nir,
+                   l_quantity/100.0 + 0.01 AS swir1,
+                   l_discount + 0.01 AS swir2
+            FROM lineitem),
+        f AS (SELECT *, {case_frac(0)} AS _f0, {case_frac(1)} AS _f1,
+                     {case_frac(2)} AS _f2, {case_sel} AS active_set
+              FROM b)
+        SELECT l_orderkey, l_linenumber,
+               {q6('_f0')} AS f_veg_e6,
+               {q6('_f1')} AS f_soil_e6,
+               {q6('_f2')} AS f_water_e6,
+               active_set,
+               {q6(rmse)} AS rmse_e6
+        FROM f
+    """
+
+
 def q_augment_zero_out(spark, sf):
     """W13 augmentation: zero-out of ~10% of valid positions
     (augmentation.py:212-249) on the shared fixture sequences — the
@@ -1798,6 +1927,54 @@ def q_media_decode(spark, sf):
         for i in range(9)
     ]
     return feats.select("media_id", "kind", *cols)
+
+
+def q_media_tif(spark, sf):
+    """REAL TIFF decode (the reference's actual raster container —
+    pytorch/predict.py:346-455 reads GeoTIFF stacks; GeoTIFF is baseline
+    TIFF plus geo tags a statistics decode ignores) through the same
+    byte-bounded Arrow pipeline as media_decode: per doc, a deterministic
+    uncompressed 16-bit 3-band multi-strip TIFF — LITTLE-endian for even
+    doc_ids, BIG-endian for odd, so both header paths of the IFD walk are
+    oracle-pinned — synthesized from the closed form
+    sample(i) = (doc_id*19 + i) % 60001, decoded by the pure-struct IFD
+    walker (multimodal._decode_tiff), feature vector re-derived by DuckDB
+    from the same closed form."""
+    import pandas as pd
+
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        synth_tiff,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = [
+                synth_tiff(i, 3 + i % 4, 2 + i % 5, big_endian=bool(i % 2))
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"m{i}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    media = d.mapInPandas(
+        build, "media_id string, kind string, payload binary, n_bytes long"
+    )
+    feats = extract_features(media, decoder=decode_media)
+    cols = [
+        F.element_at("feature", i + 1).cast("long").alias(f"f{i}")
+        for i in range(9)
+    ]
+    return feats.select("media_id", *cols)
 
 
 def q_stream_fold_equiv(spark, sf):
@@ -2967,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_menu": q_index_menu,
         "index_menu_full": q_index_menu_full,
         "sma_fractions": q_sma_fractions,
+        "sma_nnls": q_sma_nnls,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -3001,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_tif": q_media_tif,
         "laea_reproject": q_laea_reproject,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "semdedup": q_semdedup,
@@ -4704,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "sma_fractions": _sma_oracle_sql(),
+        "sma_nnls": _sma_nnls_oracle_sql(),
         "screen_pipeline": """
             SELECT event_id, user_id AS doc_id, event_type, value
             FROM events
@@ -5024,6 +5204,27 @@ def oracle_sql() -> dict[str, str]:
                      FROM smp GROUP BY doc_id)
             SELECT * FROM imgf UNION ALL SELECT * FROM wavf
         """,
+        "media_tif": """
+            WITH img AS (SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 5 AS h
+                         FROM documents),
+            idx AS (SELECT doc_id, w, h,
+                           unnest(range(0, w * h * 3)) AS i
+                    FROM img),
+            smp AS (SELECT doc_id, w, h, i % 3 AS c,
+                           (doc_id*19 + i) % 60001 AS s
+                    FROM idx)
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(max(w) AS BIGINT) AS f0,
+                   CAST(max(h) AS BIGINT) AS f1,
+                   CAST(16 AS BIGINT) AS f2,
+                   CAST(3 AS BIGINT) AS f3,
+                   CAST(sum(CASE WHEN c = 0 THEN s ELSE 0 END) AS BIGINT) AS f4,
+                   CAST(sum(CASE WHEN c = 1 THEN s ELSE 0 END) AS BIGINT) AS f5,
+                   CAST(sum(CASE WHEN c = 2 THEN s ELSE 0 END) AS BIGINT) AS f6,
+                   CAST(min(s) AS BIGINT) AS f7,
+                   CAST(max(s) AS BIGINT) AS f8
+            FROM smp GROUP BY doc_id
+        """,
         # S4 reprojection: the DuckDB side evaluates the IDENTICAL staged
         # expression text (geo.laea_forward_stages) as the Spark plan —
         # engines differ by libm ulps; cm quantization is 1e6x above that.
@@ -5043,6 +5244,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS grid_day,
                    CAST(NULL AS DOUBLE) AS value
             WHERE 1 = 0
+        """,
+        # codec round-trip: the Spark side decodes every (enc_buckets,
+        # enc_values) pair and compares to the pre-encode arrays; the codec
+        # is lossless by contract, so the oracle is the closed-form row set
+        # itself — ok=true for every generated doc (doc_fields never yields
+        # an all-nodata doc: 20+ tokens at 10% gap odds). A decode bug,
+        # a dropped doc, or a spurious row all hash-mismatch.
+        "gorilla_roundtrip": """
+            SELECT printf('doc%08d', i) AS doc_id,
+                   CAST(true AS BOOLEAN) AS ok
+            FROM range(300) t(i)
         """,
         "semdedup": f"""
             WITH {_kmeans_ctes(8, 3)},

@@ -267,6 +267,116 @@ def sma_affine(
     return P.tolist(), c.tolist()
 
 
+_NNLS_SUBSETS = ((0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,), ())
+
+
+def sma_nnls_maps(
+    endmembers: list[list[float]],
+) -> list[tuple[tuple[int, ...], list[list[float]], list[list[float]]]]:
+    """C1 SMA_NON_NEG — EXACT non-negativity-constrained unmixing
+    (``TSA.prm:204``'s SMA_NON_NEG option; Lawson & Hanson 1974) by
+    ACTIVE-SET ENUMERATION instead of the iterative solver: with k
+    endmembers there are only 2^k candidate active sets, and for each
+    subset S of free (non-zero) fractions the unconstrained solution on S
+    is a LINEAR map f = P_S·x (zero rows for the clamped fractions), with
+    KKT gradient g = EᵀE·f − Eᵀx = W_S·x also linear. The NNLS optimum is
+    the unique f whose subset satisfies primal feasibility (f_i >= 0 for
+    i in S) and dual feasibility (g_j >= 0 for j not in S) — so the whole
+    solve is a precomputed-coefficient CASE over 2^k affine maps: pure
+    scan-stage Column arithmetic, zero iterations, zero UDFs, and a SQL
+    oracle can spell the identical literal sequence (the iterative
+    Lawson-Hanson loop has a data-dependent trip count no unrolled oracle
+    can mirror; this closed form is exact for the small k the TSA menu
+    uses — k=3 here; 2^k growth says k >~ 10 belongs in a pandas kernel).
+
+    Returns [(S, P_S (k×B), W_S (k×B))] in the fixed probe order
+    (larger sets first, then lexicographic) that both engines share.
+    Ties (optimum exactly on a boundary) make several subsets valid and
+    every valid subset yields the same f, so first-match is stable."""
+    import numpy as np
+
+    E = np.asarray(endmembers, dtype=np.float64)  # (B, k)
+    k = E.shape[1]
+    G = E.T @ E
+    out = []
+    for S in _NNLS_SUBSETS:
+        P = np.zeros((k, E.shape[0]))
+        if S:
+            Ef = E[:, list(S)]
+            sol = np.linalg.solve(Ef.T @ Ef, Ef.T)  # (|S|, B)
+            for r, i in enumerate(S):
+                P[i] = sol[r]
+        W = G @ P - E.T
+        out.append((S, P.tolist(), W.tolist()))
+    return out
+
+
+def _affine(row: list[float], bands: list[Column]) -> Column:
+    """Σ_b row[b]·x_b accumulated left-to-right from 0.0 — the literal
+    order the SQL oracle mirrors for bit-identical doubles."""
+    e = F.lit(0.0)
+    for w, b in zip(row, bands):
+        e = e + F.lit(float(w)) * b
+    return e
+
+
+NNLS_EPS = 1e-12  # feasibility/KKT tolerance — shared literal with the oracle
+
+
+def sma_nnls_fractions(
+    bands: list[Column],
+    maps: list[tuple[tuple[int, ...], list[list[float]], list[list[float]]]],
+) -> tuple[list[Column], Column]:
+    """Apply the enumerated NNLS: returns (k fraction Columns, the chosen
+    active-set index Column). Each fraction is a CASE over the 2^k
+    subsets; predicates test the affine feasibility/KKT values in fixed
+    (free asc, active asc) order, at tolerance -NNLS_EPS: a degenerate
+    optimum sitting EXACTLY on a boundary (a pure-endmember pixel)
+    computes its zero components as ±1e-17-noise doubles, which would
+    fail every subset's strict test — the tolerance admits the
+    exact-arithmetic-valid subset, and the final greatest(0, ·) clamp
+    zeroes the admitted noise so fractions stay non-negative (error
+    bounded by eps·cond(EᵀE), ~1e-10 here). The ELSE arm (noise would
+    have to exceed NNLS_EPS to reach it) clamps the all-free OLS, and
+    index -1 marks it."""
+    k = len(maps[0][1])
+    eps = F.lit(-NNLS_EPS)
+
+    def valid(S, P, W):
+        cond = F.lit(True)
+        for i in S:
+            cond = cond & (_affine(P[i], bands) >= eps)
+        for j in range(k):
+            if j not in S:
+                cond = cond & (_affine(W[j], bands) >= eps)
+        return cond
+
+    fracs = []
+    for i in range(k):
+        expr = None
+        for S, P, W in maps:
+            arm = _affine(P[i], bands)
+            expr = (
+                F.when(valid(S, P, W), arm)
+                if expr is None
+                else expr.when(valid(S, P, W), arm)
+            )
+        fracs.append(
+            F.greatest(
+                F.lit(0.0),
+                expr.otherwise(_affine(maps[0][1][i], bands)),
+            )
+        )
+    sel = None
+    for idx, (S, P, W) in enumerate(maps):
+        sel = (
+            F.when(valid(S, P, W), F.lit(idx))
+            if sel is None
+            else sel.when(valid(S, P, W), F.lit(idx))
+        )
+    return fracs, sel.otherwise(F.lit(-1)).cast("long")
+
+
 def sma_fractions(
     bands: list[Column],
     P: list[list[float]],

@@ -49,24 +49,33 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 def decode_media(payload: bytes, kind: str) -> np.ndarray:
-    """Dependency-free REAL decoder for the two self-describing containers
-    a pure-Python pipeline can parse without codec libraries: uncompressed
-    24-bit BMP and PCM16 WAV. Returns the FEATURE_DIM typed feature
-    vector — container header fields plus exact integer channel
+    """Dependency-free REAL decoder for the self-describing containers a
+    pure-Python pipeline can parse without codec libraries: uncompressed
+    24-bit BMP, PCM16 WAV, and uncompressed baseline TIFF (both byte
+    orders, 8/16-bit samples, multi-band, multi-strip — the container the
+    reference's prediction path actually reads: its GeoTIFF stacks via
+    rasterio, pytorch/predict.py:346-455; GeoTIFF IS TIFF plus geo tags,
+    which a statistics decode can ignore). Returns the FEATURE_DIM typed
+    feature vector — container header fields plus exact integer channel
     statistics — with every component integer-valued, so a SQL oracle
-    reproduces the decode bit-for-bit (the `media_decode` driver query).
+    reproduces the decode bit-for-bit (the `media_decode` / `media_tif`
+    driver queries).
 
     Layout (image/BMP):  [w, h, bpp, n_px, sum_B, sum_G, sum_R, min, max]
+    Layout (image/TIFF): [w, h, bits, spp, sum_c0, sum_c1, sum_c2, min,
+                          max] (channel = sample index mod spp)
     Layout (audio/WAV):  [ch, rate, bits, n_smp, sum|s|, peak, sum_s,
                           min_s, max_s]
-    Remaining components are 0. Compressed formats (PNG/JPEG/MP4) still
-    require codec libs and raise ValueError."""
+    Remaining components are 0. Compressed formats (PNG/JPEG/MP4,
+    LZW/deflate TIFF) still require codec libs and raise ValueError."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     raise ValueError(
-        "unsupported container for pure-python decode (BMP/WAV only)"
+        "unsupported container for pure-python decode (BMP/WAV/TIFF only)"
     )
 
 
@@ -119,6 +128,133 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     f[4], f[5], f[6] = np.abs(s).sum(), np.abs(s).max() if len(s) else 0, s.sum()
     f[7], f[8] = (s.min(), s.max()) if len(s) else (0, 0)
     return f
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline-TIFF IFD walk, struct-only: header byte order, first IFD,
+    tags 256/257/258/259/273/277/278/279, strips concatenated in
+    StripOffsets order. Uncompressed (Compression=1) 8- or 16-bit
+    unsigned samples; anything else raises."""
+    bo = "<" if payload[:2] == b"II" else ">"
+    u16 = lambda o: int.from_bytes(payload[o : o + 2], "little" if bo == "<" else "big")
+    u32 = lambda o: int.from_bytes(payload[o : o + 4], "little" if bo == "<" else "big")
+    ifd = u32(4)
+    n_ent = u16(ifd)
+    _SZ = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+    def values(off):
+        typ, cnt = u16(off + 2), u32(off + 4)
+        if typ not in _SZ:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        total = _SZ[typ] * cnt
+        base = off + 8 if total <= 4 else u32(off + 8)
+        step = _SZ[typ]
+        rd = u16 if typ == 3 else (u32 if typ == 4 else (lambda o: payload[o]))
+        return [rd(base + i * step) for i in range(cnt)]
+
+    tags = {}
+    for e in range(n_ent):
+        off = ifd + 2 + e * 12
+        tags[u16(off)] = off
+    need = lambda t: values(tags[t]) if t in tags else None
+    w = need(256)[0]
+    h = need(257)[0]
+    bits_l = need(258) or [1]
+    comp = (need(259) or [1])[0]
+    offsets = need(273)
+    spp = (need(277) or [1])[0]
+    counts = need(279)
+    bits = bits_l[0]
+    if comp != 1:
+        raise ValueError(f"only uncompressed TIFF supported (compression={comp})")
+    if bits not in (8, 16) or any(b != bits for b in bits_l):
+        raise ValueError(f"only uniform 8/16-bit TIFF samples supported ({bits_l})")
+    raw = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
+    dt = np.dtype(f"{bo}u2") if bits == 16 else np.dtype("u1")
+    s = np.frombuffer(raw, dtype=dt, count=w * h * spp).astype(np.int64)
+    f = np.zeros(FEATURE_DIM, dtype=np.float64)
+    f[0], f[1], f[2], f[3] = w, h, bits, spp
+    for c in range(min(spp, 3)):
+        f[4 + c] = s[c::spp].sum()
+    f[7], f[8] = (s.min(), s.max()) if len(s) else (0, 0)
+    return f
+
+
+def synth_tiff(
+    doc_id: int,
+    w: int,
+    h: int,
+    spp: int = 3,
+    rows_per_strip: int = 2,
+    big_endian: bool = False,
+) -> bytes:
+    """Deterministic uncompressed 16-bit multi-band multi-strip TIFF:
+    sample at flat index i (row-major, band-interleaved) is
+    (doc_id*19 + i) % 60001 — a closed form a SQL oracle re-derives.
+    Exercises the full IFD walk: out-of-line BitsPerSample array,
+    StripOffsets/StripByteCounts arrays, both byte orders."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    n = w * h * spp
+    samples = [(doc_id * 19 + i) % 60001 for i in range(n)]
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    strip_bytes = []
+    for st in range(n_strips):
+        r0, r1 = st * rows_per_strip, min(h, (st + 1) * rows_per_strip)
+        seg = samples[r0 * w * spp : r1 * w * spp]
+        strip_bytes.append(struct.pack(f"{bo}{len(seg)}H", *seg))
+    entries = []  # (tag, type, count, value_or_data)
+    ifd_off = 8
+    n_ent = 10
+    data_off = ifd_off + 2 + n_ent * 12 + 4  # after IFD + next-IFD pointer
+    extra = b""
+
+    def ent(tag, typ, cnt, vals):
+        nonlocal extra, data_off
+        size = {3: 2, 4: 4}[typ] * cnt
+        fmt = "H" if typ == 3 else "I"
+        packed = struct.pack(f"{bo}{cnt}{fmt}", *vals)
+        if size <= 4:
+            entries.append(struct.pack(f"{bo}HHI", tag, typ, cnt) + packed.ljust(4, b"\x00"))
+        else:
+            entries.append(struct.pack(f"{bo}HHII", tag, typ, cnt, data_off))
+            extra += packed
+            data_off += size
+    ent(256, 4, 1, [w])
+    ent(257, 4, 1, [h])
+    ent(258, 3, spp, [16] * spp)
+    ent(259, 3, 1, [1])
+    ent(262, 3, 1, [1])  # BlackIsZero
+    strip_off_pos = len(entries)
+    ent(273, 4, n_strips, [0] * n_strips)  # patched below
+    ent(277, 3, 1, [spp])
+    ent(278, 4, 1, [rows_per_strip])
+    ent(279, 4, n_strips, [len(b) for b in strip_bytes])
+    ent(339, 3, 1, [1])  # unsigned int samples
+    assert len(entries) == n_ent
+    strip_offs = []
+    pos = data_off
+    for b in strip_bytes:
+        strip_offs.append(pos)
+        pos += len(b)
+    packed_offs = struct.pack(f"{bo}{n_strips}I", *strip_offs)
+    if n_strips * 4 <= 4:
+        entries[strip_off_pos] = (
+            struct.pack(f"{bo}HHI", 273, 4, n_strips) + packed_offs.ljust(4, b"\x00")
+        )
+    else:
+        # the placeholder already reserved data_off space for the array at
+        # a known position: it was appended to `extra` in entry order
+        idx = 0
+        for e_i in range(strip_off_pos):
+            t, ty, c = struct.unpack(f"{bo}HHI", entries[e_i][:8])
+            if {3: 2, 4: 4}[ty] * c > 4:
+                idx += {3: 2, 4: 4}[ty] * c
+        extra = extra[:idx] + packed_offs + extra[idx + n_strips * 4 :]
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(f"{bo}I", ifd_off)
+    ifd = struct.pack(f"{bo}H", n_ent) + b"".join(entries) + struct.pack(f"{bo}I", 0)
+    return header + ifd + extra + b"".join(strip_bytes)
 
 
 def synth_bmp(doc_id: int, w: int, h: int) -> bytes:

@@ -544,3 +544,62 @@ def test_mad_outliers_flags_spike_robustly(spark):
     assert out["med200"] == 2020  # median 10.1 -> 200*10.1
     assert out["n_outliers"] == 1
     assert out["mad2x"] == 40     # MAD 0.1 -> 400*0.1
+
+
+def test_sma_nnls_enumeration_is_exact_nnls(spark):
+    """The active-set-enumeration SMA_NON_NEG (scalar.sma_nnls_maps /
+    sma_nnls_fractions) equals brute-force exact NNLS (all feasible
+    KKT-checked subsets, numpy) to machine precision, and every output
+    fraction is >= 0."""
+    from itertools import combinations
+
+    from sits_classification_spark.functions import scalar as X
+
+    E = np.array(
+        [[0.03, 0.12, 0.08], [0.05, 0.18, 0.06], [0.03, 0.25, 0.04],
+         [0.55, 0.35, 0.02], [0.25, 0.45, 0.01], [0.12, 0.40, 0.01]]
+    )
+    G = E.T @ E
+
+    def nnls_ref(b):
+        best = None
+        for r in range(4):
+            for act in combinations(range(3), r):
+                free = [i for i in range(3) if i not in act]
+                f = np.zeros(3)
+                if free:
+                    Ef = E[:, free]
+                    sol = np.linalg.solve(Ef.T @ Ef, Ef.T @ b)
+                    if (sol < -1e-12).any():
+                        continue
+                    f[free] = sol
+                g = G @ f - E.T @ b
+                if all(g[i] >= -1e-9 for i in act):
+                    r2 = np.sum((E @ f - b) ** 2)
+                    if best is None or r2 < best[1] - 1e-15:
+                        best = (f, r2)
+        return best[0]
+
+    rng = np.random.RandomState(3)
+    rows = [tuple(float(x) for x in rng.uniform(0.0, 1.2, size=6)) for _ in range(200)]
+    # force boundary regimes: pure endmembers and negatives-prone mixes
+    rows += [tuple(float(x) for x in E[:, j]) for j in range(3)]
+    rows += [(0.9, 0.01, 0.01, 0.01, 0.01, 0.9)]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "id long, b0 double, b1 double, b2 double, b3 double, b4 double, b5 double",
+    )
+    maps = X.sma_nnls_maps(E.tolist())
+    fr, sel = X.sma_nnls_fractions([F.col(f"b{i}") for i in range(6)], maps)
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", fr[0].alias("f0"), fr[1].alias("f1"), fr[2].alias("f2"),
+            sel.alias("act")
+        ).collect()
+    }
+    for i, b in enumerate(rows):
+        got = np.array([out[i]["f0"], out[i]["f1"], out[i]["f2"]])
+        assert (got >= 0).all()
+        assert out[i]["act"] >= 0  # the ELSE fallback never fires
+        assert np.abs(got - nnls_ref(np.array(b))).max() < 1e-10, (i, b)

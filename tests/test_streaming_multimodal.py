@@ -115,6 +115,56 @@ def test_wav_decoder_exact_stats():
     assert f[6] == sum(s) and f[7] == min(s) and f[8] == max(s)
 
 
+def test_tiff_decoder_exact_stats_both_byte_orders():
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        synth_tiff,
+    )
+
+    for doc_id, be in [(4, False), (9, True), (0, True)]:
+        w, h = 3 + doc_id % 4, 2 + doc_id % 5
+        f = decode_media(synth_tiff(doc_id, w, h, big_endian=be), "image")
+        s = [(doc_id * 19 + i) % 60001 for i in range(w * h * 3)]
+        assert list(f[:4]) == [w, h, 16, 3]
+        assert f[4] == sum(s[0::3]) and f[5] == sum(s[1::3]) and f[6] == sum(s[2::3])
+        assert f[7] == min(s) and f[8] == max(s)
+
+
+def test_tiff_decoder_single_strip_inline_offset():
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        synth_tiff,
+    )
+
+    # rows_per_strip >= h -> one strip -> StripOffsets/ByteCounts are
+    # INLINE LONG values, not out-of-line arrays
+    f = decode_media(synth_tiff(5, 4, 2, rows_per_strip=8), "image")
+    s = [(5 * 19 + i) % 60001 for i in range(4 * 2 * 3)]
+    assert list(f[:4]) == [4, 2, 16, 3]
+    assert f[4] == sum(s[0::3]) and f[7] == min(s) and f[8] == max(s)
+
+
+def test_tiff_decoder_rejects_compressed():
+    import struct
+
+    import pytest
+
+    from sits_classification_spark.operators.multimodal import (
+        decode_media,
+        synth_tiff,
+    )
+
+    p = bytearray(synth_tiff(1, 3, 2))
+    # patch the Compression entry (tag 259, 4th entry) value to 5 (LZW)
+    ifd = struct.unpack("<I", p[4:8])[0]
+    for e in range(struct.unpack("<H", p[ifd : ifd + 2])[0]):
+        off = ifd + 2 + e * 12
+        if struct.unpack("<H", p[off : off + 2])[0] == 259:
+            p[off + 8 : off + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_media(bytes(p), "image")
+
+
 def test_frame_sample_plan(spark):
     media = synth_media(spark, 30)
     plan = frame_sample_plan(media, every_ms=1000).toPandas()
