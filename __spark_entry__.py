@@ -2838,6 +2838,119 @@ _EWMA_ORACLE = """
 """
 
 
+def q_holt_level_trend(spark, sf):
+    """Holt's linear-trend double exponential smoothing (Holt 1957,
+    alpha = beta = 1/2) per series — a genuinely SEQUENTIAL recurrence
+    run as a JVM-side array fold on the shared doc exchange (no UDF, no
+    per-step shuffle; operators/stm.holt_linear). The DuckDB oracle
+    replays the recurrence step-for-step with a RECURSIVE CTE spelling
+    the identical expression tree; alpha = 1/2 keeps every op an add or
+    an exact halving, so no libm call can diverge and the quantized
+    outputs match bit-for-bit."""
+    from sits_classification_spark.operators.stm import holt_linear
+
+    s = _series(spark, sf)
+    out = holt_linear(s)
+
+    def q6(c):
+        return F.floor(F.col(c) * 1000000 + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "doc_id",
+        "n_obs",
+        q6("level").alias("level_e6"),
+        q6("trend").alias("trend_e6"),
+        q6("forecast").alias("forecast_e6"),
+    )
+
+
+_HOLT_ORACLE = """
+    WITH RECURSIVE s0 AS ({series}),
+    r AS (SELECT doc_id, day, value,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY day) AS t,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s0),
+    h AS (
+        SELECT r2.doc_id, CAST(2 AS BIGINT) AS t, r2.n,
+               r2.value AS l, r2.value - r1.value AS b
+        FROM r r2 JOIN r r1 ON r1.doc_id = r2.doc_id AND r1.t = 1
+        WHERE r2.t = 2
+        UNION ALL
+        SELECT r.doc_id, CAST(r.t AS BIGINT) AS t, r.n,
+               0.5*r.value + 0.5*(h.l + h.b) AS l,
+               0.5*((0.5*r.value + 0.5*(h.l + h.b)) - h.l) + 0.5*h.b AS b
+        FROM h JOIN r ON r.doc_id = h.doc_id AND r.t = h.t + 1
+    ),
+    fin AS (
+        SELECT doc_id, n, l, b FROM h WHERE t = n
+        UNION ALL
+        SELECT doc_id, n, value AS l, 0.0 AS b FROM r WHERE n = 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_obs,
+           CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_e6,
+           CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_e6,
+           CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS forecast_e6
+    FROM fin
+"""
+
+
+def q_theil_sen(spark, sf):
+    """Theil–Sen robust trend per series (median of pairwise slopes +
+    Conover intercept; operators/stm.theil_sen). Pair slopes are
+    generated JVM-side inside the per-doc array (no self-join shuffle);
+    the oracle generates them by self-join and picks the same LOWER
+    median by row_number — slope doubles are one subtraction each side
+    of one division, identical cross-engine."""
+    from sits_classification_spark.operators.stm import theil_sen
+
+    s = _series(spark, sf)
+    out = theil_sen(s)
+
+    def q6(c):
+        return F.floor(F.col(c) * 1000000 + F.lit(0.5)).cast("long")
+
+    return out.select(
+        "doc_id",
+        "n_obs",
+        "n_pairs",
+        q6("slope").alias("slope_e6"),
+        q6("intercept").alias("intercept_e6"),
+    )
+
+
+_THEIL_ORACLE = """
+    WITH s0 AS ({series}),
+    r AS (SELECT doc_id, day, value,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY day) AS t,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s0),
+    sl AS (SELECT a.doc_id, a.n,
+                  (b.value - a.value) / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS s
+           FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.t < b.t),
+    sr AS (SELECT doc_id, n, s,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk,
+                  count(*) OVER (PARTITION BY doc_id) AS m
+           FROM sl),
+    med AS (SELECT doc_id, max(n) AS n, max(m) AS m,
+                   max(CASE WHEN rk = (m + 1) // 2 THEN s END) AS slope
+            FROM sr GROUP BY doc_id),
+    res AS (SELECT r.doc_id,
+                   r.value - med.slope * CAST(r.day AS DOUBLE) AS e,
+                   row_number() OVER (PARTITION BY r.doc_id ORDER BY
+                       r.value - med.slope * CAST(r.day AS DOUBLE)) AS rk,
+                   med.n
+            FROM r JOIN med ON r.doc_id = med.doc_id),
+    icp AS (SELECT doc_id, max(CASE WHEN rk = (n + 1) // 2 THEN e END) AS icept
+            FROM res GROUP BY doc_id)
+    SELECT med.doc_id, CAST(med.n AS BIGINT) AS n_obs,
+           CAST(med.m AS BIGINT) AS n_pairs,
+           CAST(floor(med.slope * 1000000 + 0.5) AS BIGINT) AS slope_e6,
+           CAST(floor(icp.icept * 1000000 + 0.5) AS BIGINT) AS intercept_e6
+    FROM med JOIN icp ON med.doc_id = icp.doc_id
+    WHERE med.n >= 2
+"""
+
+
 def q_seasonal_decompose(spark, sf):
     """Classical weekly seasonal decomposition (centered-MA trend +
     per-weekday indices) of every series; all-integer detrending makes the
@@ -3189,6 +3302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_points": q_lttb_points,
         "seasonal_decompose": q_seasonal_decompose,
         "ewma_level": q_ewma_level,
+        "holt_level_trend": q_holt_level_trend,
+        "theil_sen": q_theil_sen,
         "mad_outliers": q_mad_outliers,
         "fold_ohlc": q_fold_ohlc,
         "psi_drift": q_psi_drift,
@@ -5112,6 +5227,8 @@ def oracle_sql() -> dict[str, str]:
         "lttb_points": _lttb_oracle_sql(),
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
+        "holt_level_trend": _HOLT_ORACLE.format(series=_SERIES_SQL),
+        "theil_sen": _THEIL_ORACLE.format(series=_SERIES_SQL),
         "mad_outliers": _MAD_ORACLE.format(series=_SERIES_SQL),
         "fold_ohlc": _OHLC_ORACLE.format(series=_SERIES_SQL),
         "psi_drift": _PSI_ORACLE.format(series=_SERIES_SQL),

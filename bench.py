@@ -143,6 +143,10 @@ HEADLINE = [
     "lttb_points",
     "seasonal_decompose",
     "ewma_level",
+    "holt_level_trend",
+    "theil_sen",
+    "sma_nnls",
+    "media_tif",
     "mad_outliers",
     "fold_ohlc",
     "psi_drift",

@@ -324,3 +324,122 @@ def standardize(
         m2 = F.avg(F.col(value_col) * F.col(value_col)).over(w) - mean * mean
         return df.withColumn("standardized", (F.col(value_col) - mean) / F.sqrt(m2))
     raise ValueError(mode)
+
+
+def holt_linear(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    t_col: str = "day",
+    v_col: str = "value",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957;
+    alpha = beta = 1/2) over each time-ordered series — the SES
+    (ewma_level) family's trend-aware sibling, the standard NRT level+
+    slope tracker. Init state at t=2 is (l_2, b_2) = (x_2, x_2 − x_1) —
+    the textbook l_1 = x_1, b_1 = x_2 − x_1 initialization advanced one
+    EXACT step (in real arithmetic the t=2 update yields exactly these;
+    pinning the advanced form avoids the float non-identity of
+    0.5·x_2 + 0.5·(x_1 + (x_2 − x_1)) vs x_2) — then for t >= 3:
+
+        l_t = 0.5·x_t + 0.5·(l_{t-1} + b_{t-1})
+        b_t = 0.5·(l_t − l_{t-1}) + 0.5·b_{t-1}
+
+    alpha = beta = 1/2 keeps every operation an add or an EXACT halving —
+    libm pow never runs, so a SQL engine replaying the identical
+    expression tree (a recursive CTE stepping t -> t+1) lands on
+    bit-identical doubles at every step (the ewma_level determinism
+    posture, extended to a genuinely sequential recurrence that has no
+    closed weighted form cheap enough to mirror).
+
+    Plan: ONE hash aggregate per doc (collect_list) riding the shared
+    doc exchange, then a JVM-side array fold (F.aggregate) over the
+    day-sorted pairs — the recurrence never leaves whole-stage codegen,
+    no UDF, no per-step shuffle. Series length is the tier contract's
+    ~20-110 observations; the fold is O(n) per doc.
+
+    Returns (id, n_obs, level, trend, forecast) with forecast the
+    one-step-ahead l_T + b_T; single-point series carry trend 0.0."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(t_col).alias("t"), F.col(v_col).alias("v")))
+    )
+    g = df.groupBy(F.col(id_col)).agg(arr.alias("a"))
+    n = F.size("a")
+    x1 = F.element_at("a", 1)["v"].cast("double")
+    x2 = F.element_at("a", 2)["v"].cast("double")
+    init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, p):
+        x = p["v"].cast("double")
+        lnew = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        bnew = F.lit(0.5) * (lnew - acc["l"]) + F.lit(0.5) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    fold = F.aggregate(F.slice("a", 3, F.greatest(n - 2, F.lit(0))), init, step)
+    level = F.when(n == 1, x1).otherwise(fold["l"])
+    trend_ = F.when(n == 1, F.lit(0.0)).otherwise(fold["b"])
+    return g.select(
+        id_col,
+        n.cast("long").alias("n_obs"),
+        level.alias("level"),
+        trend_.alias("trend"),
+        (level + trend_).alias("forecast"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    t_col: str = "day",
+    v_col: str = "value",
+) -> DataFrame:
+    """Theil–Sen robust trend (Theil 1950; Sen 1968): per series, the
+    median of all pairwise slopes (v_j − v_i)/(t_j − t_i), i < j in time
+    order — the robust complement to the OLS trend operator (up to ~29%
+    contaminated observations leave the estimate unmoved; cloud-slipped
+    outliers that survive the QAI screen are exactly that contamination).
+    Intercept = median of (v_i − slope·t_i) (Conover's form).
+
+    Median rule: LOWER median — element at 1-based rank (m+1) DIV 2 of
+    the ascending sort — the same percentile_disc-style rule
+    group_quantiles pins, so a SQL oracle reproduces it by row_number.
+    Slope doubles are identical cross-engine (one subtraction each side
+    of one division), days are distinct within a series (the tier dedup
+    contract), so no 0/0 and no cross-engine sort divergence.
+
+    Plan: one collect_list per doc on the shared exchange, pair slopes
+    generated JVM-side inside the array (the LSH in-bucket pattern —
+    O(n²) values per doc stay in one task-local array, n ~ 20-110 so
+    m <= ~6k; no self-join, no pair shuffle). Output one row per doc."""
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(t_col).alias("t"), F.col(v_col).alias("v")))
+    )
+    g = df.groupBy(F.col(id_col)).agg(arr.alias("a"))
+    n = F.size("a")
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                "a",
+                lambda x, i: F.transform(
+                    F.slice(F.col("a"), i + 2, F.size("a")),
+                    lambda y: (y["v"].cast("double") - x["v"].cast("double"))
+                    / (y["t"].cast("double") - x["t"].cast("double")),
+                ),
+            )
+        )
+    )
+    g = g.select(id_col, "a", n.alias("n"), slopes.alias("s"))
+    m = F.size("s")
+    med = F.element_at("s", F.floor((m + 1) / 2).cast("int"))
+    resid = F.array_sort(
+        F.transform(
+            "a", lambda p: p["v"].cast("double") - med * p["t"].cast("double")
+        )
+    )
+    icept = F.element_at(resid, F.floor((F.col("n") + 1) / 2).cast("int"))
+    return g.filter(F.col("n") >= 2).select(
+        id_col,
+        F.col("n").cast("long").alias("n_obs"),
+        m.cast("long").alias("n_pairs"),
+        med.alias("slope"),
+        icept.alias("intercept"),
+    )

@@ -603,3 +603,67 @@ def test_sma_nnls_enumeration_is_exact_nnls(spark):
         assert (got >= 0).all()
         assert out[i]["act"] >= 0  # the ELSE fallback never fires
         assert np.abs(got - nnls_ref(np.array(b))).max() < 1e-10, (i, b)
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    """The array-fold Holt (alpha=beta=1/2) equals a plain sequential
+    Python implementation of the pinned contract, including n=1 and n=2
+    edges."""
+    from sits_classification_spark.operators.stm import holt_linear
+
+    series = {
+        1: [(0, 5.0)],
+        2: [(0, 1.0), (7, 4.0)],
+        3: [(0, 2.0), (3, 9.5), (5, -1.25), (9, 4.0), (12, 4.0)],
+        4: [(d, float((d * 37) % 11) - 3.3) for d in range(40)],
+    }
+    rows = [(k, d, v) for k, pts in series.items() for d, v in pts]
+    df = spark.createDataFrame(rows, "doc_id long, day long, value double")
+    out = {r["doc_id"]: r for r in holt_linear(df).collect()}
+
+    for k, pts in series.items():
+        xs = [v for _, v in sorted(pts)]
+        if len(xs) == 1:
+            l, b = xs[0], 0.0
+        else:
+            l, b = xs[1], xs[1] - xs[0]
+            for x in xs[2:]:
+                lnew = 0.5 * x + 0.5 * (l + b)
+                b = 0.5 * (lnew - l) + 0.5 * b
+                l = lnew
+        assert out[k]["n_obs"] == len(xs)
+        assert out[k]["level"] == pytest.approx(l, abs=0)
+        assert out[k]["trend"] == pytest.approx(b, abs=0)
+        assert out[k]["forecast"] == pytest.approx(l + b, abs=0)
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    """Theil-Sen slope/intercept equal the brute-force numpy lower-median
+    of pairwise slopes, and the estimator shrugs off a gross outlier
+    that swings the OLS trend."""
+    from sits_classification_spark.operators.stm import theil_sen, trend
+
+    pts = [(d, 2.0 * d + 1.0) for d in range(20)]
+    pts[7] = (7, 500.0)  # gross outlier
+    df = spark.createDataFrame(
+        [(1, "s", d, v) for d, v in pts],
+        "doc_id long, source string, day long, value double",
+    )
+    r = theil_sen(df).collect()[0]
+    days = np.array([d for d, _ in pts], dtype=float)
+    vals = np.array([v for _, v in pts])
+    slopes = sorted(
+        (vals[j] - vals[i]) / (days[j] - days[i])
+        for i in range(len(pts))
+        for j in range(i + 1, len(pts))
+    )
+    m = len(slopes)
+    med = slopes[(m + 1) // 2 - 1]
+    resid = sorted(vals - med * days)
+    icept = resid[(len(pts) + 1) // 2 - 1]
+    assert r["n_pairs"] == m
+    assert r["slope"] == pytest.approx(med, abs=0)
+    assert r["intercept"] == pytest.approx(icept, abs=0)
+    assert abs(r["slope"] - 2.0) < 0.15  # robust to the outlier
+    ols = trend(df).collect()[0]["slope"]
+    assert abs(ols - 2.0) > 1.0  # which OLS is not
