@@ -1196,30 +1196,22 @@ def q_sma_nnls(spark, sf):
     literal sequence (an iterative Lawson-Hanson loop has a
     data-dependent trip count no unrolled oracle can mirror).
     active_set pins the chosen branch cross-engine; rmse_e6 is the
-    standard SMA model-quality band. Fractions are staged behind a
-    projection (SPARK-36718 pins non-cheap multiply-referenced aliases)
-    so the rmse does not re-expand the CASE 18 more times — the same
-    shape as the oracle's f CTE."""
+    standard SMA model-quality band. Every affine value and validity
+    flag is staged ONCE as an aliased column (scalar.sma_nnls;
+    SPARK-36718 pins non-cheap multiply-referenced aliases), so neither
+    the three fraction CASEs, the index CASE, nor the rmse re-expand any
+    affine tree — the same three staging layers the oracle spells as
+    CTEs."""
     from sits_classification_spark.functions import scalar as X
 
     li = _read(spark, sf, "lineitem")
-    maps = X.sma_nnls_maps(_SMA_E)
     staged = li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
         *[b.alias(n) for n, b in zip(_SMA_BANDS, _sma_band_cols())],
     )
     bcols = [F.col(n) for n in _SMA_BANDS]
-    fr, sel = X.sma_nnls_fractions(bcols, maps)
-    withf = staged.select(
-        "l_orderkey",
-        "l_linenumber",
-        *_SMA_BANDS,
-        fr[0].alias("_f0"),
-        fr[1].alias("_f1"),
-        fr[2].alias("_f2"),
-        sel.alias("active_set"),
-    )
+    withf = X.sma_nnls(staged, bcols, _SMA_E)
     fcols = [F.col("_f0"), F.col("_f1"), F.col("_f2")]
     rmse = X.sma_rmse([F.col(n) for n in _SMA_BANDS], fcols, _SMA_E)
 
@@ -1240,13 +1232,14 @@ def q_sma_nnls(spark, sf):
 def _sma_nnls_oracle_sql() -> str:
     """Mirror of q_sma_nnls: the same enumerated affine maps (from the
     same sma_nnls_maps call), the same left-to-right literal
-    accumulation, the same CASE probe order."""
-    from sits_classification_spark.functions.scalar import sma_nnls_maps
+    accumulation, the same three staging layers (affine values ->
+    validity flags -> CASEs over column refs), the same probe order."""
+    from sits_classification_spark.functions.scalar import (
+        NNLS_EPS,
+        sma_nnls_maps,
+    )
 
     maps = sma_nnls_maps(_SMA_E)
-
-    from sits_classification_spark.functions.scalar import NNLS_EPS
-
     eps = f"-{NNLS_EPS!r}"
 
     def aff(row):
@@ -1255,28 +1248,37 @@ def _sma_nnls_oracle_sql() -> str:
             e = f"({e} + {float(w)!r}*{b})"
         return e
 
-    def valid(S, P, W):
-        conds = ["TRUE"]
-        for i in S:
-            conds.append(f"({aff(P[i])} >= {eps})")
+    staged = []
+    for s, (S, P, W) in enumerate(maps):
+        for i in range(3):
+            staged.append(f"{aff(P[i])} AS _p{s}_{i}")
         for j in range(3):
             if j not in S:
-                conds.append(f"({aff(W[j])} >= {eps})")
+                staged.append(f"{aff(W[j])} AS _w{s}_{j}")
+
+    def valid(s, S):
+        conds = ["TRUE"]
+        for i in S:
+            conds.append(f"(_p{s}_{i} >= {eps})")
+        for j in range(3):
+            if j not in S:
+                conds.append(f"(_w{s}_{j} >= {eps})")
         out = conds[0]
         for c in conds[1:]:
             out = f"({out} AND {c})"
         return out
 
+    flags = [
+        f"{valid(s, S)} AS _v{s}" for s, (S, _, _) in enumerate(maps)
+    ]
+
     def case_frac(i):
         arms = "".join(
-            f" WHEN {valid(S, P, W)} THEN {aff(P[i])}" for S, P, W in maps
+            f" WHEN _v{s} THEN _p{s}_{i}" for s in range(len(maps))
         )
-        return f"greatest(0.0, CASE{arms} ELSE {aff(maps[0][1][i])} END)"
+        return f"greatest(0.0, CASE{arms} ELSE _p0_{i} END)"
 
-    sel_arms = "".join(
-        f" WHEN {valid(S, P, W)} THEN {idx}"
-        for idx, (S, P, W) in enumerate(maps)
-    )
+    sel_arms = "".join(f" WHEN _v{s} THEN {s}" for s in range(len(maps)))
     case_sel = f"CAST(CASE{sel_arms} ELSE -1 END AS BIGINT)"
 
     total = "0.0"
@@ -1300,9 +1302,11 @@ def _sma_nnls_oracle_sql() -> str:
                    l_quantity/100.0 + 0.01 AS swir1,
                    l_discount + 0.01 AS swir2
             FROM lineitem),
+        g AS (SELECT *, {", ".join(staged)} FROM b),
+        v AS (SELECT *, {", ".join(flags)} FROM g),
         f AS (SELECT *, {case_frac(0)} AS _f0, {case_frac(1)} AS _f1,
                      {case_frac(2)} AS _f2, {case_sel} AS active_set
-              FROM b)
+              FROM v)
         SELECT l_orderkey, l_linenumber,
                {q6('_f0')} AS f_veg_e6,
                {q6('_f1')} AS f_soil_e6,

@@ -323,58 +323,85 @@ def _affine(row: list[float], bands: list[Column]) -> Column:
 NNLS_EPS = 1e-12  # feasibility/KKT tolerance — shared literal with the oracle
 
 
-def sma_nnls_fractions(
+def sma_nnls(
+    df,
     bands: list[Column],
-    maps: list[tuple[tuple[int, ...], list[list[float]], list[list[float]]]],
-) -> tuple[list[Column], Column]:
-    """Apply the enumerated NNLS: returns (k fraction Columns, the chosen
-    active-set index Column). Each fraction is a CASE over the 2^k
-    subsets; predicates test the affine feasibility/KKT values in fixed
-    (free asc, active asc) order, at tolerance -NNLS_EPS: a degenerate
-    optimum sitting EXACTLY on a boundary (a pure-endmember pixel)
-    computes its zero components as ±1e-17-noise doubles, which would
-    fail every subset's strict test — the tolerance admits the
-    exact-arithmetic-valid subset, and the final greatest(0, ·) clamp
-    zeroes the admitted noise so fractions stay non-negative (error
-    bounded by eps·cond(EᵀE), ~1e-10 here). The ELSE arm (noise would
-    have to exceed NNLS_EPS to reach it) clamps the all-free OLS, and
-    index -1 marks it."""
+    endmembers: list[list[float]],
+    prefix: str = "_f",
+):
+    """Apply the enumerated NNLS to a DataFrame: returns df's columns plus
+    {prefix}0..{prefix}{k-1} (clamped non-negative fractions) and
+    `active_set` (the chosen subset index; -1 marks the unreachable-in-
+    practice ELSE fallback).
+
+    Predicates test the affine feasibility/KKT values in fixed (free asc,
+    active asc) order, at tolerance -NNLS_EPS: a degenerate optimum
+    sitting EXACTLY on a boundary (a pure-endmember pixel) computes its
+    zero components as ±1e-17-noise doubles, which would fail every
+    subset's strict test — the tolerance admits the exact-arithmetic-
+    valid subset, and the final greatest(0, ·) clamp zeroes the admitted
+    noise so fractions stay non-negative (error bounded by
+    eps·cond(EᵀE), ~1e-10 here).
+
+    Plan shape: every distinct affine value (2^k·k candidate fractions +
+    the complementary KKT gradients) is STAGED once as an aliased column,
+    the 2^k validity flags are staged from those, and the final CASEs
+    reference columns only — non-cheap multi-referenced aliases are
+    pinned (SPARK-36718), so each affine map is evaluated ONCE per row
+    instead of once per consumer (the inline-CASE draft evaluated each
+    predicate tree 4x — for the 3 fractions and the index — and ran
+    ~6x slower). The SQL oracle mirrors the same three staging layers as
+    CTEs, so every double is produced by the identical expression text."""
+    maps = sma_nnls_maps(endmembers)
     k = len(maps[0][1])
     eps = F.lit(-NNLS_EPS)
-
-    def valid(S, P, W):
-        cond = F.lit(True)
-        for i in S:
-            cond = cond & (_affine(P[i], bands) >= eps)
+    base_cols = list(df.columns)
+    staged = []
+    for s, (S, P, W) in enumerate(maps):
+        for i in range(k):
+            staged.append(_affine(P[i], bands).alias(f"_p{s}_{i}"))
         for j in range(k):
             if j not in S:
-                cond = cond & (_affine(W[j], bands) >= eps)
+                staged.append(_affine(W[j], bands).alias(f"_w{s}_{j}"))
+    g = df.select("*", *staged)
+
+    def valid(s, S):
+        cond = F.lit(True)
+        for i in S:
+            cond = cond & (F.col(f"_p{s}_{i}") >= eps)
+        for j in range(k):
+            if j not in S:
+                cond = cond & (F.col(f"_w{s}_{j}") >= eps)
         return cond
 
+    v = g.select(
+        "*", *[valid(s, S).alias(f"_v{s}") for s, (S, _, _) in enumerate(maps)]
+    )
     fracs = []
     for i in range(k):
         expr = None
-        for S, P, W in maps:
-            arm = _affine(P[i], bands)
+        for s in range(len(maps)):
+            arm = F.col(f"_p{s}_{i}")
             expr = (
-                F.when(valid(S, P, W), arm)
+                F.when(F.col(f"_v{s}"), arm)
                 if expr is None
-                else expr.when(valid(S, P, W), arm)
+                else expr.when(F.col(f"_v{s}"), arm)
             )
         fracs.append(
-            F.greatest(
-                F.lit(0.0),
-                expr.otherwise(_affine(maps[0][1][i], bands)),
+            F.greatest(F.lit(0.0), expr.otherwise(F.col(f"_p0_{i}"))).alias(
+                f"{prefix}{i}"
             )
         )
     sel = None
-    for idx, (S, P, W) in enumerate(maps):
+    for s in range(len(maps)):
         sel = (
-            F.when(valid(S, P, W), F.lit(idx))
+            F.when(F.col(f"_v{s}"), F.lit(s))
             if sel is None
-            else sel.when(valid(S, P, W), F.lit(idx))
+            else sel.when(F.col(f"_v{s}"), F.lit(s))
         )
-    return fracs, sel.otherwise(F.lit(-1)).cast("long")
+    return v.select(
+        *base_cols, *fracs, sel.otherwise(F.lit(-1)).cast("long").alias("active_set")
+    )
 
 
 def sma_fractions(

@@ -42,6 +42,16 @@ def get_spark(
         # it so a 100k-token per-source cap still pre-prunes below the
         # exchange instead of shipping every row of a hot source
         .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000000")
+        # whole-stage codegen fuses a stage into ONE processNext(); when the
+        # fused method's BYTECODE exceeds the JVM's DontCompileHugeMethods
+        # limit (8000 bytes) HotSpot never JITs it and the stage runs in the
+        # bytecode interpreter — Spark's default threshold (65535) happily
+        # emits such methods. Wide scalar pipelines here (the 36-column NNLS
+        # staging, 40-index menus) hit exactly that: measured 7.2s -> 1.4s
+        # at sf0.1 for sma_nnls by capping at the JIT limit, which makes
+        # Spark fall back to per-operator codegen (still compiled, just not
+        # fused) for oversized stages while normal stages keep WSCG
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

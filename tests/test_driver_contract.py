@@ -13,10 +13,10 @@ def test_every_query_is_oracled_or_consciously_native():
     qs, osql = e.queries(), e.oracle_sql()
     # every oracle belongs to a registered query
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
-    # the ONLY query allowed to skip the oracle is the Gorilla bit-packing
-    # round-trip (engine-native compression, no ANSI-SQL equivalent);
-    # adding a new rows-only query must be a conscious decision here
-    assert set(qs) - set(osql) == {"gorilla_roundtrip"}
+    # since r5 EVERY query is oracled (gorilla_roundtrip got a closed-form
+    # expected-row-set oracle); adding a rows-only query must be a
+    # conscious decision here
+    assert set(qs) - set(osql) == set(), sorted(set(qs) - set(osql))
 
 
 def test_bench_headline_names_real_queries():

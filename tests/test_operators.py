@@ -589,13 +589,11 @@ def test_sma_nnls_enumeration_is_exact_nnls(spark):
         [(i, *r) for i, r in enumerate(rows)],
         "id long, b0 double, b1 double, b2 double, b3 double, b4 double, b5 double",
     )
-    maps = X.sma_nnls_maps(E.tolist())
-    fr, sel = X.sma_nnls_fractions([F.col(f"b{i}") for i in range(6)], maps)
+    res = X.sma_nnls(df, [F.col(f"b{i}") for i in range(6)], E.tolist(), prefix="f")
     out = {
         r["id"]: r
-        for r in df.select(
-            "id", fr[0].alias("f0"), fr[1].alias("f1"), fr[2].alias("f2"),
-            sel.alias("act")
+        for r in res.select(
+            "id", "f0", "f1", "f2", F.col("active_set").alias("act")
         ).collect()
     }
     for i, b in enumerate(rows):
