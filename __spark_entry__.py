@@ -3008,6 +3008,22 @@ _SEASONAL_ORACLE = f"""
 """
 
 
+def q_twdtw_class(spark, sf):
+    """TWDTW nearest-pattern classification (Maus 2016) — the canonical
+    training-free SITS classifier the reference approximates with its
+    transformer (`pytorch/predict.py`): per-doc time-weighted DTW distance
+    to a 3-pattern phenology library with a linear day-of-year weight,
+    asymmetric step pattern, open begin/end over the series, argmin label.
+    All costs are int64 micro-units (value micro-quantization + integer DOY
+    distance), so the DP is engine-exact; the oracle replays the identical
+    row recurrence as a recursive CTE carrying one DP row per (doc,
+    pattern)."""
+    from sits_classification_spark.operators.dtw import twdtw_classify
+
+    s = _series(spark, sf)
+    return twdtw_classify(s)
+
+
 def q_lttb_points(spark, sf):
     """LTTB visual/archive downsample (Steinarsson 2013) of every series to
     12 shape-preserving points. The oracle unrolls the 10 sequential bucket
@@ -3304,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_locf_equiv": q_stream_locf_equiv,
         "pq_topk": q_pq_topk,
         "lttb_points": q_lttb_points,
+        "twdtw_class": q_twdtw_class,
         "seasonal_decompose": q_seasonal_decompose,
         "ewma_level": q_ewma_level,
         "holt_level_trend": q_holt_level_trend,
@@ -4443,6 +4460,8 @@ def _pq_oracle_sql(m: int = 8, d0: int = 8, ksub: int = 64,
 
 
 def oracle_sql() -> dict[str, str]:
+    from sits_classification_spark.operators.dtw import twdtw_oracle_sql
+
     mh_exprs = ", ".join(
         f"list_min(list_transform(base, h -> (h*{a}+{b}) % {_M31})) AS mh{i}"
         for i, (a, b) in enumerate(_MH_PARAMS)
@@ -5229,6 +5248,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "lttb_points": _lttb_oracle_sql(),
+        "twdtw_class": twdtw_oracle_sql(_SERIES_SQL),
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
         "holt_level_trend": _HOLT_ORACLE.format(series=_SERIES_SQL),

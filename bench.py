@@ -150,6 +150,7 @@ HEADLINE = [
     "mad_outliers",
     "fold_ohlc",
     "psi_drift",
+    "twdtw_class",
 ]
 
 

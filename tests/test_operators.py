@@ -665,3 +665,64 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
     assert abs(r["slope"] - 2.0) < 0.15  # robust to the outlier
     ols = trend(df).collect()[0]["slope"]
     assert abs(ols - 2.0) > 1.0  # which OLS is not
+
+
+def test_twdtw_brute_force_and_exact_trace(spark):
+    """TWDTW distances equal an independently-written top-down memoized DP
+    (same semantics, different algorithm), and a series exactly tracing a
+    pattern's (doy, value) points gets distance 0 and that label."""
+    from functools import lru_cache
+
+    from sits_classification_spark.operators.dtw import (
+        DEFAULT_PATTERNS,
+        DEFAULT_WEIGHT,
+        INF,
+        pattern_micro,
+        twdtw_classify,
+    )
+
+    # doc 1: exact trace of pattern 1 (days chosen so day % 365 == pattern doy)
+    base = 365 * 50
+    trace = [(1, base + d, v) for d, v in DEFAULT_PATTERNS[1]]
+    # doc 2: arbitrary wiggly series, some days duplicated in DOY space
+    vals = [33.0, 11.5, 47.25, 90.0, 2.0, 140.5, 71.0, 55.5, 18.0, 63.0]
+    other = [(2, base + 10 + 3 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        trace + other, "doc_id long, day long, value double"
+    )
+    got = {r["doc_id"]: r for r in twdtw_classify(df).collect()}
+
+    assert got[1]["d_p1"] == 0 and got[1]["label"] == 1
+
+    # independent reference: top-down recursion over (i, j) with the same
+    # asymmetric step, open begin (restart at j=1), open end (min over i)
+    pats = pattern_micro(DEFAULT_PATTERNS)
+
+    def brute(rows, pdoy, pval):
+        rows = sorted(rows, key=lambda r: r[1])
+        doy = [r[1] % 365 for r in rows]
+        vq = [int(np.floor(r[2] * 1e6 + 0.5)) for r in rows]
+
+        def psi(i, j):
+            a = abs(doy[i] - pdoy[j])
+            return abs(vq[i] - pval[j]) + DEFAULT_WEIGHT * min(a, 365 - a)
+
+        @lru_cache(maxsize=None)
+        def D(i, j):
+            if i == 0:
+                return psi(0, 0) if j == 0 else INF
+            prev = [D(i - 1, j)]
+            if j >= 1:
+                prev.append(D(i - 1, j - 1))
+            if j >= 2:
+                prev.append(D(i - 1, j - 2))
+            if j == 0:
+                prev.append(0)
+            return psi(i, j) + min(prev)
+
+        r = len(pdoy)
+        return min(D(i, r - 1) for i in range(len(rows)))
+
+    for doc, rows in ((1, trace), (2, other)):
+        for p, (pd_, pv_) in enumerate(pats):
+            assert got[doc][f"d_p{p}"] == brute(rows, pd_, pv_), (doc, p)
