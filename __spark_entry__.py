@@ -2661,6 +2661,75 @@ _PSI_ORACLE = """
 """
 
 
+def q_acf(spark, sf):
+    """Per-series autocorrelation function at row-order lags 1..3 — the
+    standard residual/seasonality diagnostic the A3/W5 menu lacked:
+    r_k = sum_{t<=n-k}(x_t - xbar)(x_{t+k} - xbar) / sum(x_t - xbar)^2,
+    full-series mean and denominator (Box-Jenkins convention). Values are
+    exact 2-decimal data, so cq = floor(v*100 + 0.5) is lossless; scaling
+    both factors by n clears the mean's division — num_k =
+    sum (n*cq_t - S)(n*cq_{t+k} - S) is EXACT int64 (|n*cq| <= 1.5e6,
+    30-term sum <= 7e13), den likewise, and the single final int/int
+    division is the only float op, so both engines emit identical doubles.
+    Plan: one doc_id exchange (shared with the series family) carrying a
+    lead window + an unbounded-window total, then one hash aggregate."""
+    s = _series(spark, sf)
+    wd = Window.partitionBy("doc_id")
+    wo = wd.orderBy("day")
+    cq = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    r = (
+        s.withColumn("cq", cq)
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+        .withColumn("s", F.sum("cq").over(wd))
+    )
+    dev = F.col("n") * F.col("cq") - F.col("s")
+    for k in (1, 2, 3):
+        r = r.withColumn(
+            f"p{k}", dev * (F.col("n") * F.lead("cq", k).over(wo) - F.col("s"))
+        )
+    agg = r.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(dev * dev).alias("den"),
+        *[F.sum(f"p{k}").alias(f"num{k}") for k in (1, 2, 3)],
+    )
+    rk = [
+        F.when(
+            F.col("den") > 0,
+            F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
+        ).alias(f"r{k}")
+        for k in (1, 2, 3)
+    ]
+    return agg.select("doc_id", "n", *rk)
+
+
+_ACF_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq,
+                 count(*) OVER (PARTITION BY doc_id) AS n,
+                 sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY doc_id) AS s,
+                 lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 1)
+                     OVER (PARTITION BY doc_id ORDER BY day) AS l1,
+                 lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 2)
+                     OVER (PARTITION BY doc_id ORDER BY day) AS l2,
+                 lead(CAST(floor(value * 100 + 0.5) AS BIGINT), 3)
+                     OVER (PARTITION BY doc_id ORDER BY day) AS l3
+          FROM s),
+    a AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n,
+                 sum((n*cq - s) * (n*cq - s)) AS den,
+                 sum((n*cq - s) * (n*l1 - s)) AS num1,
+                 sum((n*cq - s) * (n*l2 - s)) AS num2,
+                 sum((n*cq - s) * (n*l3 - s)) AS num3
+          FROM b GROUP BY doc_id)
+    SELECT doc_id, n,
+           CASE WHEN den > 0 THEN CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) END AS r1,
+           CASE WHEN den > 0 THEN CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) END AS r2,
+           CASE WHEN den > 0 THEN CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) END AS r3
+    FROM a
+"""
+
+
 def q_fold_ohlc(spark, sf):
     """OHLC monthly fold — the candlestick flavor of the A2 fold menu:
     per (series, month) the first/last values by day plus min/max.
@@ -3328,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "fold_ohlc": q_fold_ohlc,
         "psi_drift": q_psi_drift,
+        "acf": q_acf,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
@@ -5256,6 +5326,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_ORACLE.format(series=_SERIES_SQL),
         "fold_ohlc": _OHLC_ORACLE.format(series=_SERIES_SQL),
         "psi_drift": _PSI_ORACLE.format(series=_SERIES_SQL),
+        "acf": _ACF_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -151,6 +151,7 @@ HEADLINE = [
     "fold_ohlc",
     "psi_drift",
     "twdtw_class",
+    "acf",
 ]
 
 

@@ -726,3 +726,30 @@ def test_twdtw_brute_force_and_exact_trace(spark):
     for doc, rows in ((1, trace), (2, other)):
         for p, (pd_, pv_) in enumerate(pats):
             assert got[doc][f"d_p{p}"] == brute(rows, pd_, pv_), (doc, p)
+
+
+def test_acf_matches_numpy_definition(spark):
+    """q_acf's integer-exact r_k equals the Box-Jenkins ACF computed
+    independently in float numpy (full-series mean/denominator)."""
+    import __spark_entry__ as e
+
+    vals = [10.25, 12.5, 9.75, 14.0, 13.25, 8.5, 11.0, 15.75, 12.25, 10.0]
+    # write a tiny events parquet the query family can read
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [(7, f"2024-01-{i+1:02d} 00:00:00", v, i) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    r = e.queries()["acf"](spark, d).collect()[0]
+    x = np.array(vals)
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    for k in (1, 2, 3):
+        expect = float((dev[:-k] * dev[k:]).sum()) / den
+        assert r[f"r{k}"] == pytest.approx(expect, abs=1e-12), k
+    assert r["n"] == len(vals)
