@@ -2043,6 +2043,62 @@ def _event_scores(spark, sf):
     )
 
 
+def q_stream_ohlc_equiv(spark, sf):
+    """Streaming/batch twin contract for the OHLC candlestick fold: run
+    the windowed OHLC stream (file source, availableNow, complete mode,
+    watermark-deduped on (user_id, event_id), open/close pinned by the
+    full (ts, event_id, value) struct ordering) and the IDENTICAL batch
+    plan over the same events; return the symmetric exceptAll diff —
+    EXPECTED EMPTY. OHLC values are selected (not averaged) raw doubles,
+    so the twins must agree exactly with no rounding. The oracle is the
+    matching empty relation."""
+    from sits_classification_spark.streaming.rollup import run_ohlc_stream_once
+
+    src = f"{sf}/events.parquet"
+    stream = run_ohlc_stream_once(spark, src, query_name="ohlc_equiv_stream")
+    batch = (
+        spark.read.parquet(src)
+        .dropDuplicates(["user_id", "event_id"])
+        .groupBy(F.window("ts", "10 days").alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            F.col("_o.value").alias("open"),
+            "high",
+            "low",
+            F.col("_c.value").alias("close"),
+            "n_obs",
+        )
+    )
+
+    def norm(df):
+        return df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.unix_timestamp(F.col("bucket_start").cast("timestamp")).alias(
+                "bucket_start"
+            ),
+            F.unix_timestamp(F.col("bucket_end").cast("timestamp")).alias(
+                "bucket_end"
+            ),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+
+    a, b = norm(stream), norm(batch)
+    return a.exceptAll(b).unionAll(b.exceptAll(a))
+
+
 def q_stream_cusum_equiv(spark, sf):
     """Streaming/batch CUSUM twin contract as a driver row: replay the
     score stream in 3 day-ordered micro-batches through the
@@ -3399,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "acf": q_acf,
         "stream_fold_equiv": q_stream_fold_equiv,
+        "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
         "media_frames": q_media_frames,
         "hash_sample": q_hash_sample,
@@ -5555,6 +5612,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS bucket_start,
                    CAST(NULL AS BIGINT) AS bucket_end,
                    CAST(NULL AS DOUBLE) AS value,
+                   CAST(NULL AS BIGINT) AS n_obs
+            WHERE 1 = 0
+        """,
+        "stream_ohlc_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS bucket_start,
+                   CAST(NULL AS BIGINT) AS bucket_end,
+                   CAST(NULL AS DOUBLE) AS open,
+                   CAST(NULL AS DOUBLE) AS high,
+                   CAST(NULL AS DOUBLE) AS low,
+                   CAST(NULL AS DOUBLE) AS close,
                    CAST(NULL AS BIGINT) AS n_obs
             WHERE 1 = 0
         """,

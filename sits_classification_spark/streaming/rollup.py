@@ -106,6 +106,70 @@ def run_file_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_ohlc(
+    events: DataFrame,
+    window: str = "10 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Windowed OHLC fold over an event stream — the streaming twin of the
+    candlestick tier (q_fold_ohlc): per (doc, event-time window) the
+    first/last values by (ts, event_id) plus min/max. Open/close use
+    min/max over the (ts, event_id, value) struct so ties are pinned by
+    the full ordering key — the same pinned-tie contract as the batch
+    fold. Pure windowed aggregation: watermark-bounded state, map-side
+    partial min/max structs, no custom state."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_id"]
+    )
+    return (
+        deduped.groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            F.col("_o.value").alias("open"),
+            "high",
+            "low",
+            F.col("_c.value").alias("close"),
+            "n_obs",
+        )
+    )
+
+
+def run_ohlc_stream_once(
+    spark: SparkSession,
+    src_dir: str,
+    query_name: str = "ohlc_stream",
+    window: str = "10 days",
+) -> DataFrame:
+    """Drive the OHLC stream over a parquet dir to completion (file
+    source, availableNow, complete mode) and return the materialized
+    result — the run_file_stream_once recipe for the candlestick twin."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_as_stream_dir(src_dir))
+    )
+    out = streaming_ohlc(events, window=window)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def streaming_asof_purchase(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): the
     streaming twin of the batch as-of lookup (J2, ``utils/class_run.py:39-61``

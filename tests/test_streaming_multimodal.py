@@ -446,3 +446,46 @@ def test_streaming_locf_grid_carries_across_batches(spark, tmpdir_session):
     }
     # grid 0 -> obs@0; grid 3 and 6 due in batch 2, BEFORE obs@7 -> carry 2.0
     assert got == {0: 1.0, 3: 2.0, 6: 2.0}
+
+
+def test_streaming_ohlc_matches_batch_and_is_nonempty(spark, sf001):
+    """The OHLC twin equivalence is meaningful: the stream produces rows
+    (the empty-diff driver check cannot pass via two empty sides), each
+    window's high >= open/close >= low, and values match the batch fold."""
+    from sits_classification_spark.streaming.rollup import run_ohlc_stream_once
+
+    out = run_ohlc_stream_once(
+        spark, os.path.join(sf001, "events.parquet"), query_name="t_ohlc"
+    ).toPandas()
+    assert len(out) > 0
+    assert (out["high"] >= out["low"]).all()
+    assert (out["high"] >= out["open"]).all() and (out["high"] >= out["close"]).all()
+    assert (out["low"] <= out["open"]).all() and (out["low"] <= out["close"]).all()
+    ev = spark.read.parquet(os.path.join(sf001, "events.parquet"))
+    batch = (
+        ev.dropDuplicates(["user_id", "event_id"])
+        .groupBy(F.window("ts", "10 days").alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("_o.value").alias("open"),
+            "high",
+            "low",
+            F.col("_c.value").alias("close"),
+            "n_obs",
+        )
+        .toPandas()
+    )
+    a = out.sort_values(["doc_id", "bucket_start"]).reset_index(drop=True)
+    b = batch.sort_values(["doc_id", "bucket_start"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("open", "high", "low", "close"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    assert (a["n_obs"].to_numpy() == b["n_obs"].to_numpy()).all()
