@@ -2786,6 +2786,46 @@ _ACF_ORACLE = """
 """
 
 
+def q_pacf(spark, sf):
+    """Per-series partial autocorrelation at lags 1..3 via Durbin-Levinson
+    on the engine-exact ACF: phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2);
+    phi33 = (r3 - a21*r2 - phi22*r1)/(1 - a21*r1 - phi22*r2) with
+    a21 = r1*(1 - phi22). The r_k inputs are bit-identical across engines
+    (q_acf's n-scaled int64 sums), and the D-L recurrences are spelled as
+    the SAME expression tree in both engines, so every derived double is
+    bit-identical too — no quantization at the boundary. Adds nothing to
+    the plan: the same single-exchange aggregate as q_acf plus scalar
+    arithmetic in the final project."""
+    a = q_acf(spark, sf)
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    a21 = r1 * (F.lit(1.0) - phi2)
+    phi3 = (r3 - a21 * r2 - phi2 * r1) / (
+        F.lit(1.0) - a21 * r1 - phi2 * r2
+    )
+    return a.select(
+        "doc_id",
+        "n",
+        r1.alias("phi1"),
+        phi2.alias("phi2"),
+        phi3.alias("phi3"),
+    )
+
+
+_PACF_ORACLE = """
+    WITH a AS ({acf}),
+    d AS (SELECT doc_id, n, r1, r2, r3,
+                 (r2 - r1*r1) / (1.0 - r1*r1) AS phi2
+          FROM a),
+    e AS (SELECT *, r1 * (1.0 - phi2) AS a21 FROM d)
+    SELECT doc_id, n,
+           r1 AS phi1,
+           phi2,
+           (r3 - a21*r2 - phi2*r1) / (1.0 - a21*r1 - phi2*r2) AS phi3
+    FROM e
+"""
+
+
 def q_fold_ohlc(spark, sf):
     """OHLC monthly fold — the candlestick flavor of the A2 fold menu:
     per (series, month) the first/last values by day plus min/max.
@@ -3454,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_ohlc": q_fold_ohlc,
         "psi_drift": q_psi_drift,
         "acf": q_acf,
+        "pacf": q_pacf,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5384,6 +5425,7 @@ def oracle_sql() -> dict[str, str]:
         "fold_ohlc": _OHLC_ORACLE.format(series=_SERIES_SQL),
         "psi_drift": _PSI_ORACLE.format(series=_SERIES_SQL),
         "acf": _ACF_ORACLE.format(series=_SERIES_SQL),
+        "pacf": _PACF_ORACLE.format(acf=_ACF_ORACLE.format(series=_SERIES_SQL)),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -753,3 +753,32 @@ def test_acf_matches_numpy_definition(spark):
         expect = float((dev[:-k] * dev[k:]).sum()) / den
         assert r[f"r{k}"] == pytest.approx(expect, abs=1e-12), k
     assert r["n"] == len(vals)
+
+
+def test_pacf_matches_yule_walker(spark):
+    """q_pacf's Durbin-Levinson phis equal the last coefficient of the
+    Yule-Walker solve at each order, computed independently via numpy
+    linalg on the Toeplitz system."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e
+
+    vals = [10.25, 12.5, 9.75, 14.0, 13.25, 8.5, 11.0, 15.75, 12.25, 10.0,
+            13.5, 9.0]
+    d = tempfile.mkdtemp()
+    rows = [(3, f"2024-02-{i+1:02d} 00:00:00", v, i) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    r = e.queries()["pacf"](spark, d).collect()[0]
+    x = np.array(vals)
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    rk = [1.0] + [float((dev[:-k] * dev[k:]).sum()) / den for k in (1, 2, 3)]
+    for order, name in ((1, "phi1"), (2, "phi2"), (3, "phi3")):
+        R = np.array([[rk[abs(i - j)] for j in range(order)] for i in range(order)])
+        phi = np.linalg.solve(R, np.array(rk[1 : order + 1]))
+        assert r[name] == pytest.approx(phi[-1], abs=1e-9), name
