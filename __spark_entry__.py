@@ -3173,6 +3173,20 @@ _SEASONAL_ORACLE = f"""
 """
 
 
+def q_regime_segments(spark, sf):
+    """Kleinberg-automaton-style regime segmentation (2-state Viterbi,
+    integer L1 costs to per-series quartile levels, switch penalty =
+    interquartile spread): decode each series into LOW/HIGH regimes with
+    pinned tie rules — the path-labelling complement of the CUSUM break
+    screen. Output the decoded path string, HIGH-step count, and total
+    cost. The oracle replays the identical integer DP as a recursive CTE
+    carrying (v0, v1, path0, path1) per doc."""
+    from sits_classification_spark.operators.burst import regime_segments
+
+    s = _series(spark, sf)
+    return regime_segments(s)
+
+
 def q_twdtw_class(spark, sf):
     """TWDTW nearest-pattern classification (Maus 2016) — the canonical
     training-free SITS classifier the reference approximates with its
@@ -3486,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "lttb_points": q_lttb_points,
         "twdtw_class": q_twdtw_class,
+        "regime_segments": q_regime_segments,
         "seasonal_decompose": q_seasonal_decompose,
         "ewma_level": q_ewma_level,
         "holt_level_trend": q_holt_level_trend,
@@ -4628,6 +4643,7 @@ def _pq_oracle_sql(m: int = 8, d0: int = 8, ksub: int = 64,
 
 
 def oracle_sql() -> dict[str, str]:
+    from sits_classification_spark.operators.burst import regime_oracle_sql
     from sits_classification_spark.operators.dtw import twdtw_oracle_sql
 
     mh_exprs = ", ".join(
@@ -5417,6 +5433,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_oracle_sql(),
         "lttb_points": _lttb_oracle_sql(),
         "twdtw_class": twdtw_oracle_sql(_SERIES_SQL),
+        "regime_segments": regime_oracle_sql(_SERIES_SQL),
         "seasonal_decompose": _SEASONAL_ORACLE.format(series=_SERIES_SQL),
         "ewma_level": _EWMA_ORACLE.format(series=_SERIES_SQL),
         "holt_level_trend": _HOLT_ORACLE.format(series=_SERIES_SQL),

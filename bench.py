@@ -152,6 +152,8 @@ HEADLINE = [
     "psi_drift",
     "twdtw_class",
     "acf",
+    "pacf",
+    "regime_segments",
 ]
 
 

@@ -782,3 +782,48 @@ def test_pacf_matches_yule_walker(spark):
         R = np.array([[rk[abs(i - j)] for j in range(order)] for i in range(order)])
         phi = np.linalg.solve(R, np.array(rk[1 : order + 1]))
         assert r[name] == pytest.approx(phi[-1], abs=1e-9), name
+
+
+def test_regime_segments_matches_exhaustive_viterbi(spark):
+    """The DP's total_cost equals the exhaustive minimum over all 2^T state
+    paths (independent reference), the decoded path achieves that cost, and
+    a clean step series decodes to the obvious LOW->HIGH segmentation."""
+    from itertools import product
+
+    from sits_classification_spark.operators.burst import regime_segments
+
+    # noisy series with a level shift mid-way
+    vals = [10.0, 12.0, 9.5, 11.0, 55.0, 60.0, 58.5, 9.0, 57.0, 59.0]
+    df = spark.createDataFrame(
+        [(5, 100 + i, v) for i, v in enumerate(vals)],
+        "doc_id long, day long, value double",
+    )
+    r = regime_segments(df).collect()[0]
+    cq = [int(np.floor(v * 100 + 0.5)) for v in vals]
+    t = len(cq)
+    srt = sorted(cq)
+    m_lo, m_hi = srt[(t + 3) // 4 - 1], srt[(3 * t + 3) // 4 - 1]
+    g = max(1, m_hi - m_lo)
+
+    def path_cost(states):
+        c = g if states[0] == 1 else 0
+        for i, s in enumerate(states):
+            c += abs(cq[i] - (m_hi if s else m_lo))
+            if i and s != states[i - 1]:
+                c += g
+        return c
+
+    best = min(path_cost(p) for p in product((0, 1), repeat=t))
+    assert r["total_cost"] == best
+    decoded = [int(ch) for ch in r["path"]]
+    assert path_cost(decoded) == best
+    assert r["m_lo"] == m_lo and r["m_hi"] == m_hi and r["gamma"] == g
+
+    # clean step: 5 low then 5 high, no outliers -> one switch
+    step = [10.0] * 5 + [80.0] * 5
+    df2 = spark.createDataFrame(
+        [(6, 200 + i, v) for i, v in enumerate(step)],
+        "doc_id long, day long, value double",
+    )
+    r2 = regime_segments(df2).collect()[0]
+    assert r2["path"] == "0000011111"
