@@ -2786,6 +2786,55 @@ _ACF_ORACLE = """
 """
 
 
+def q_mann_kendall(spark, sf):
+    """Mann-Kendall monotone-trend test per series — the nonparametric
+    partner of theil_sen (Sen slope + MK test is the standard pairing in
+    the SITS change literature). S and the tie-corrected 18*Var(S) are
+    exact int64 over cent-quantized values; Z and the 95% flag derive
+    from those integers by identical expressions both engines."""
+    from sits_classification_spark.operators.stm import mann_kendall
+
+    s = _series(spark, sf)
+    return mann_kendall(s)
+
+
+_MK_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id, day, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq
+          FROM s),
+    pr AS (SELECT a.doc_id,
+                  CAST(sum(CASE WHEN bb.cq > a.cq THEN 1
+                                WHEN bb.cq < a.cq THEN -1 ELSE 0 END)
+                       AS BIGINT) AS s_stat
+           FROM b a JOIN b bb ON bb.doc_id = a.doc_id AND bb.day > a.day
+           GROUP BY a.doc_id),
+    nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_obs FROM b
+           GROUP BY doc_id),
+    tg AS (SELECT doc_id, cq, count(*) AS t FROM b GROUP BY doc_id, cq),
+    tt AS (SELECT doc_id,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM tg GROUP BY doc_id),
+    j AS (SELECT nn.doc_id, nn.n_obs,
+                 coalesce(pr.s_stat, 0) AS s_stat,
+                 CAST(nn.n_obs * (nn.n_obs - 1) * (2 * nn.n_obs + 5)
+                      - tt.tie_term AS BIGINT) AS var18
+          FROM nn JOIN tt ON tt.doc_id = nn.doc_id
+          LEFT JOIN pr ON pr.doc_id = nn.doc_id
+          WHERE nn.n_obs >= 2),
+    z AS (SELECT *,
+                 CASE WHEN s_stat > 0 THEN
+                        CAST(s_stat - 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                      WHEN s_stat < 0 THEN
+                        CAST(s_stat + 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                      ELSE 0.0 END AS z
+          FROM j)
+    SELECT doc_id, n_obs, s_stat, var18, z,
+           CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS INTEGER)
+               AS significant
+    FROM z
+"""
+
+
 def q_pacf(spark, sf):
     """Per-series partial autocorrelation at lags 1..3 via Durbin-Levinson
     on the engine-exact ACF: phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2);
@@ -3510,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "acf": q_acf,
         "pacf": q_pacf,
+        "mann_kendall": q_mann_kendall,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5443,6 +5493,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_ORACLE.format(series=_SERIES_SQL),
         "acf": _ACF_ORACLE.format(series=_SERIES_SQL),
         "pacf": _PACF_ORACLE.format(acf=_ACF_ORACLE.format(series=_SERIES_SQL)),
+        "mann_kendall": _MK_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

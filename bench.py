@@ -154,6 +154,7 @@ HEADLINE = [
     "acf",
     "pacf",
     "regime_segments",
+    "mann_kendall",
 ]
 
 

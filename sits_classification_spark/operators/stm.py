@@ -443,3 +443,91 @@ def theil_sen(
         med.alias("slope"),
         icept.alias("intercept"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    t_col: str = "day",
+    v_col: str = "value",
+) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945; Kendall 1975) — the standard
+    nonparametric monotone-trend significance test, the canonical partner
+    of the Theil-Sen slope in the SITS change literature (the reference's
+    parametric counterpart is the OLS t-test at TSA.prm:335-343):
+
+        S    = sum_{i<j} sign(x_j - x_i)
+        VarS = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18
+               (tie-group correction, groups g of equal values)
+        Z    = (S-1)/sqrt(VarS) if S>0, 0 if S=0, (S+1)/sqrt(VarS) if S<0
+
+    Everything before the final sqrt/division is exact int64: values are
+    cent-quantized losslessly (2-decimal data), S is a sum of pair signs,
+    and var18 = 18*VarS stays integer. Z is then derived from identical
+    integers by the identical expression (sqrt(var18/18.0)) in both
+    engines — bit-identical doubles. significant = |Z| > 1.96 (95%
+    two-sided).
+
+    Plan: pair signs are generated JVM-side inside the per-doc array (the
+    theil_sen pattern — no self-join, no pair shuffle); the tie-group
+    correction is a groupBy(doc, cq) + groupBy(doc) pair that rides the
+    SAME doc-prefix partitioning (subset rule — no extra exchange), and
+    the final join is doc-to-doc on co-partitioned sides."""
+    cq = F.floor(F.col(v_col) * 100 + 0.5).cast("long")
+    base = df.select(F.col(id_col), F.col(t_col).alias("t"), cq.alias("cq"))
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("cq")))
+    )
+    g = base.groupBy(id_col).agg(arr.alias("a"))
+    signs = F.flatten(
+        F.transform(
+            "a",
+            lambda x, i: F.transform(
+                F.slice(F.col("a"), i + 2, F.size("a")),
+                lambda y: F.signum(
+                    (y["cq"] - x["cq"]).cast("double")
+                ).cast("long"),
+            ),
+        )
+    )
+    s_side = g.select(
+        id_col,
+        F.size("a").cast("long").alias("n_obs"),
+        F.aggregate(signs, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "s_stat"
+        ),
+    )
+    ties = (
+        base.groupBy(id_col, "cq")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+            ).alias("tie_term")
+        )
+    )
+    j = s_side.join(ties, id_col)
+    n = F.col("n_obs")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    z = (
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double")
+               / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1).cast("double")
+              / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j.filter(n >= 2)
+        .withColumn("var18", var18.cast("long"))
+        .select(
+            id_col,
+            "n_obs",
+            "s_stat",
+            "var18",
+            z.alias("z"),
+            (F.abs(z) > 1.96).cast("int").alias("significant"),
+        )
+    )

@@ -827,3 +827,45 @@ def test_regime_segments_matches_exhaustive_viterbi(spark):
     )
     r2 = regime_segments(df2).collect()[0]
     assert r2["path"] == "0000011111"
+
+
+def test_mann_kendall_matches_definition(spark):
+    """S, tie-corrected variance, and Z equal the textbook Mann-Kendall
+    computed independently in pure python, on a series with ties and a
+    known monotone case."""
+    from sits_classification_spark.operators.stm import mann_kendall
+
+    cases = {
+        10: [3.0, 5.0, 4.0, 5.0, 7.0, 6.5, 8.0, 8.0, 9.5, 11.0],  # ties
+        11: [float(i) for i in range(12)],  # strictly increasing
+    }
+    rows = [
+        (doc, 50 + i, v)
+        for doc, vals in cases.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, day long, value double")
+    got = {r["doc_id"]: r for r in mann_kendall(df).collect()}
+    for doc, vals in cases.items():
+        x = [int(np.floor(v * 100 + 0.5)) for v in vals]
+        n = len(x)
+        s = sum(
+            (x[j] > x[i]) - (x[j] < x[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(x).values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        if s > 0:
+            z = (s - 1) / np.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        r = got[doc]
+        assert r["s_stat"] == s and r["var18"] == var18, doc
+        assert r["z"] == pytest.approx(z, abs=0), doc
+        assert r["significant"] == int(abs(z) > 1.96), doc
+    assert got[11]["significant"] == 1  # strict increase is significant
