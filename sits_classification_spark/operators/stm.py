@@ -468,11 +468,15 @@ def mann_kendall(
     engines — bit-identical doubles. significant = |Z| > 1.96 (95%
     two-sided).
 
-    Plan: pair signs are generated JVM-side inside the per-doc array (the
-    theil_sen pattern — no self-join, no pair shuffle); the tie-group
-    correction is a groupBy(doc, cq) + groupBy(doc) pair that rides the
-    SAME doc-prefix partitioning (subset rule — no extra exchange), and
-    the final join is doc-to-doc on co-partitioned sides."""
+    Plan: pair signs AND the tie correction are generated JVM-side inside
+    the per-doc array (the theil_sen pattern — no self-join, no pair
+    shuffle, no second derivation of the series): the group-wise tie sum
+    sum_g t_g(t_g-1)(2t_g+5) equals the POSITION-wise sum over all i of
+    (c_i - 1)(2c_i + 5) with c_i = count of elements equal to element i
+    (each group of size t contributes its term t times, divided back by
+    t via the per-position form staying integer), so one O(n^2) array
+    pass replaces a groupBy+join. The whole test plans on the single
+    shared doc exchange."""
     cq = F.floor(F.col(v_col) * 100 + 0.5).cast("long")
     base = df.select(F.col(id_col), F.col(t_col).alias("t"), cq.alias("cq"))
     arr = F.array_sort(
@@ -490,24 +494,26 @@ def mann_kendall(
             ),
         )
     )
-    s_side = g.select(
+    tie_terms = F.transform(
+        "a",
+        lambda x: F.aggregate(
+            F.filter("a", lambda y: y["cq"] == x["cq"]),
+            F.lit(0).cast("long"),
+            lambda acc, _: acc + 1,
+        ),
+    )
+    j = g.select(
         id_col,
         F.size("a").cast("long").alias("n_obs"),
         F.aggregate(signs, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "s_stat"
         ),
+        F.aggregate(
+            tie_terms,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (c - 1) * (2 * c + 5),
+        ).alias("tie_term"),
     )
-    ties = (
-        base.groupBy(id_col, "cq")
-        .agg(F.count(F.lit(1)).alias("tg"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
-            ).alias("tie_term")
-        )
-    )
-    j = s_side.join(ties, id_col)
     n = F.col("n_obs")
     var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
     z = (
