@@ -2786,6 +2786,47 @@ _ACF_ORACLE = """
 """
 
 
+def q_ljung_box(spark, sf):
+    """Ljung-Box portmanteau white-noise test at m=3 lags per series:
+    Q = n(n+2) * sum_k r_k^2/(n-k), flagged against the chi-square 95%
+    critical value at 3 df (7.814728, a shared literal). The r_k inputs
+    are bit-identical across engines (q_acf), and Q is derived by the
+    identical expression tree — bit-identical doubles, integer flag."""
+    a = q_acf(spark, sf)
+    n = F.col("n").cast("double")
+    q = (
+        n
+        * (n + F.lit(2.0))
+        * (
+            F.col("r1") * F.col("r1") / (n - F.lit(1.0))
+            + F.col("r2") * F.col("r2") / (n - F.lit(2.0))
+            + F.col("r3") * F.col("r3") / (n - F.lit(3.0))
+        )
+    )
+    return a.select(
+        "doc_id",
+        "n",
+        q.alias("q_stat"),
+        (q > 7.814728).cast("int").alias("not_white_noise"),
+    )
+
+
+_LB_ORACLE = """
+    WITH a AS ({acf})
+    SELECT doc_id, n,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+             * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
+                + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
+                + r3*r3 / (CAST(n AS DOUBLE) - 3.0)) AS q_stat,
+           CAST(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+             * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
+                + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
+                + r3*r3 / (CAST(n AS DOUBLE) - 3.0)) > 7.814728
+                THEN 1 ELSE 0 END AS INTEGER) AS not_white_noise
+    FROM a
+"""
+
+
 def q_mann_kendall(spark, sf):
     """Mann-Kendall monotone-trend test per series — the nonparametric
     partner of theil_sen (Sen slope + MK test is the standard pairing in
@@ -3560,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "pacf": q_pacf,
         "mann_kendall": q_mann_kendall,
+        "ljung_box": q_ljung_box,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5494,6 +5536,9 @@ def oracle_sql() -> dict[str, str]:
         "acf": _ACF_ORACLE.format(series=_SERIES_SQL),
         "pacf": _PACF_ORACLE.format(acf=_ACF_ORACLE.format(series=_SERIES_SQL)),
         "mann_kendall": _MK_ORACLE.format(series=_SERIES_SQL),
+        "ljung_box": _LB_ORACLE.format(
+            acf=_ACF_ORACLE.format(series=_SERIES_SQL)
+        ),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -869,3 +869,30 @@ def test_mann_kendall_matches_definition(spark):
         assert r["z"] == pytest.approx(z, abs=0), doc
         assert r["significant"] == int(abs(z) > 1.96), doc
     assert got[11]["significant"] == 1  # strict increase is significant
+
+
+def test_ljung_box_matches_definition(spark):
+    import os
+    import tempfile
+
+    import __spark_entry__ as e
+
+    vals = [10.25, 12.5, 9.75, 14.0, 13.25, 8.5, 11.0, 15.75, 12.25, 10.0]
+    d = tempfile.mkdtemp()
+    rows = [(9, f"2024-03-{i+1:02d} 00:00:00", v, i) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    r = e.queries()["ljung_box"](spark, d).collect()[0]
+    x = np.array(vals)
+    dev = x - x.mean()
+    den = float((dev * dev).sum())
+    n = len(x)
+    q = n * (n + 2) * sum(
+        (float((dev[:-k] * dev[k:]).sum()) / den) ** 2 / (n - k)
+        for k in (1, 2, 3)
+    )
+    assert r["q_stat"] == pytest.approx(q, rel=1e-12)
+    assert r["not_white_noise"] == int(q > 7.814728)
