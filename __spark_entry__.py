@@ -1772,6 +1772,40 @@ def q_pack_chunks(spark, sf):
     ).select("doc_id", "source", "chunk_id", "chunk_off", "doc_off", "seg_len")
 
 
+def q_chunk_plan(spark, sf):
+    """Overlapping context-window chunking plan (window=32 tokens,
+    stride=24 — the standard fixed-context + overlap layout for LLM
+    training/embedding, complementing pack_chunks' concat-then-chunk):
+    per doc, n_chunks = 1 + ceil(max(0, n-W)/S) strided windows, the last
+    clipped to the doc end; emits (doc_id, k, start_tok, end_tok,
+    chunk_len). All-integer arithmetic (DIV-based ceil), token count =
+    the shared whitespace words() contract. Map-only: one explode of a
+    per-row sequence — no shuffle, no window."""
+    from sits_classification_spark.operators.text import words
+
+    W, S = 32, 24
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.size(words("text")).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    n_chunks = F.lit(1) + F.expr(
+        f"CASE WHEN n > {W} THEN (n - {W} + {S} - 1) DIV {S} ELSE 0 END"
+    )
+    e = d.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    )
+    start = F.col("k") * S
+    end = F.least(F.col("n"), start + W)
+    return e.select(
+        "doc_id",
+        F.col("k").cast("long").alias("k"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("chunk_len"),
+    )
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-3 TF-IDF terms per document (corpus keyword extraction); scores
     quantized to integer micro-units BEFORE ranking so the top-k set is
@@ -3573,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "stratified_split": q_stratified_split,
         "pack_chunks": q_pack_chunks,
+        "chunk_plan": q_chunk_plan,
         "tfidf_top_terms": q_tfidf_top_terms,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
@@ -5542,6 +5577,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),
+        "chunk_plan": f"""
+            WITH b AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n
+                       FROM documents),
+            c AS (SELECT doc_id, n,
+                         1 + (CASE WHEN n > 32 THEN (n - 32 + 23) // 24
+                                   ELSE 0 END) AS n_chunks
+                  FROM b WHERE n > 0),
+            e AS (SELECT doc_id, n,
+                         unnest(range(0, n_chunks)) AS k
+                  FROM c)
+            SELECT doc_id, CAST(k AS BIGINT) AS k,
+                   CAST(k * 24 AS BIGINT) AS start_tok,
+                   CAST(least(n, k * 24 + 32) AS BIGINT) AS end_tok,
+                   CAST(least(n, k * 24 + 32) - k * 24 AS BIGINT) AS chunk_len
+            FROM e
+        """,
         "tfidf_top_terms": _TFIDF_ORACLE,
         "unigram_logprob": _UNIGRAM_ORACLE,
         "bigram_logprob": _BIGRAM_ORACLE,
