@@ -2820,6 +2820,90 @@ _ACF_ORACLE = """
 """
 
 
+def q_market_corr(spark, sf):
+    """Cross-sectional 'market mode' correlation — the first genuinely
+    CROSS-series diagnostic in the menu: per doc, the Pearson correlation
+    between its series and the corpus-wide market series y_t = sum over
+    all docs of cq at day t (the SUM, not the mean — correlation is
+    scale-invariant, and the sum stays exact int64). Only days the doc
+    observes enter its correlation (pairwise-complete convention).
+
+    Exactness: cq is the lossless cent quantization; with m = the doc's
+    obs count, the m-scaled deviations dx = m*cq - Sx and dy = m*y - Sy
+    make numerator and both denominator sums exact int64.
+    dy is SHIFT-INVARIANT in y (m*y_t - Sy = sum_{t'} (y_t - y_{t'})), so
+    its magnitude is bounded by m * range(y) — the market's FLUCTUATION,
+    not its level: ~3e8 at sf0.1 (dy^2 sums ~2.7e18 < 2^63). ANSI mode
+    turns any violation into a loud error, never a wrong answer; at
+    corpus sizes where m*range(y) approaches 2^31.5 the deterministic
+    fix is a first-pass max to pick a power-of-two pre-scale for the
+    (already tiny) market table — a two-pass, still engine-exact
+    contract. r = num / sqrt(dx2) / sqrt(dy2) from identical integers —
+    identical doubles.
+
+    Plan: the market table is a ~#days-row groupBy(day) aggregate,
+    broadcast back onto the one shared doc exchange; then one per-doc
+    hash aggregate. No second wide shuffle."""
+    s = _series(spark, sf)
+    cq = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    b = s.select("doc_id", "day", cq.alias("cq"))
+    market = b.groupBy("day").agg(F.sum("cq").alias("y"))
+    j = b.join(F.broadcast(market), "day")
+    wd = Window.partitionBy("doc_id")
+    j = (
+        j.withColumn("m", F.count(F.lit(1)).over(wd))
+        .withColumn("sx", F.sum("cq").over(wd))
+        .withColumn("sy", F.sum("y").over(wd))
+    )
+    dx = F.col("m") * F.col("cq") - F.col("sx")
+    dy = F.col("m") * F.col("y") - F.col("sy")
+    agg = (
+        j.select("doc_id", dx.alias("dx"), dy.alias("dy"), "m")
+        .groupBy("doc_id")
+        .agg(
+            F.max("m").cast("long").alias("n_obs"),
+            F.sum(F.col("dx") * F.col("dy")).alias("num"),
+            F.sum(F.col("dx") * F.col("dx")).alias("dx2"),
+            F.sum(F.col("dy") * F.col("dy")).alias("dy2"),
+        )
+    )
+    r = F.when(
+        (F.col("dx2") > 0) & (F.col("dy2") > 0),
+        F.col("num").cast("double")
+        / F.sqrt(F.col("dx2").cast("double"))
+        / F.sqrt(F.col("dy2").cast("double")),
+    )
+    return agg.select("doc_id", "n_obs", r.alias("market_r"))
+
+
+_MARKET_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id, day, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq
+          FROM s),
+    mk AS (SELECT day, CAST(sum(cq) AS BIGINT) AS y FROM b GROUP BY day),
+    j AS (SELECT b.doc_id, b.cq, mk.y,
+                 count(*) OVER (PARTITION BY b.doc_id) AS m,
+                 sum(b.cq) OVER (PARTITION BY b.doc_id) AS sx,
+                 sum(mk.y) OVER (PARTITION BY b.doc_id) AS sy
+          FROM b JOIN mk ON mk.day = b.day),
+    d AS (SELECT doc_id, m,
+                 m*cq - sx AS dx,
+                 m*y - sy AS dy
+          FROM j),
+    a AS (SELECT doc_id, CAST(max(m) AS BIGINT) AS n_obs,
+                 CAST(sum(dx * dy) AS BIGINT) AS num,
+                 CAST(sum(dx * dx) AS BIGINT) AS dx2,
+                 CAST(sum(dy * dy) AS BIGINT) AS dy2
+          FROM d GROUP BY doc_id)
+    SELECT doc_id, n_obs,
+           CASE WHEN dx2 > 0 AND dy2 > 0 THEN
+               CAST(num AS DOUBLE) / sqrt(CAST(dx2 AS DOUBLE))
+                                   / sqrt(CAST(dy2 AS DOUBLE))
+           END AS market_r
+    FROM a
+"""
+
+
 def q_ljung_box(spark, sf):
     """Ljung-Box portmanteau white-noise test at m=3 lags per series:
     Q = n(n+2) * sum_k r_k^2/(n-k), flagged against the chi-square 95%
@@ -3637,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf": q_pacf,
         "mann_kendall": q_mann_kendall,
         "ljung_box": q_ljung_box,
+        "market_corr": q_market_corr,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5574,6 +5659,7 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box": _LB_ORACLE.format(
             acf=_ACF_ORACLE.format(series=_SERIES_SQL)
         ),
+        "market_corr": _MARKET_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

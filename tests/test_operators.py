@@ -896,3 +896,48 @@ def test_ljung_box_matches_definition(spark):
     )
     assert r["q_stat"] == pytest.approx(q, rel=1e-12)
     assert r["not_white_noise"] == int(q > 7.814728)
+
+
+def test_market_corr_matches_numpy(spark):
+    """market_r equals the pairwise-complete Pearson correlation between
+    each doc's cents series and the summed market series, computed
+    independently in numpy."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e
+
+    series = {
+        1: [(1, 10.0), (2, 12.0), (3, 9.0), (4, 14.0), (5, 11.0)],
+        2: [(1, 5.0), (2, 6.5), (3, 4.0), (4, 8.0), (5, 6.0)],
+        3: [(2, 50.0), (3, 40.0), (4, 60.0), (5, 45.0)],  # partial overlap
+    }
+    rows = []
+    eid = 0
+    for doc, pts in series.items():
+        for d, v in pts:
+            rows.append((doc, f"1970-01-{d:02d} 00:00:00", v, eid))
+            eid += 1
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {r["doc_id"]: r for r in e.queries()["market_corr"](spark, d).collect()}
+
+    cents = {
+        doc: {dd: int(np.floor(v * 100 + 0.5)) for dd, v in pts}
+        for doc, pts in series.items()
+    }
+    market = {}
+    for doc in cents:
+        for dd, c in cents[doc].items():
+            market[dd] = market.get(dd, 0) + c
+    for doc, pts in cents.items():
+        days = sorted(pts)
+        x = np.array([pts[dd] for dd in days], dtype=float)
+        y = np.array([market[dd] for dd in days], dtype=float)
+        expect = np.corrcoef(x, y)[0, 1]
+        assert got[doc]["market_r"] == pytest.approx(expect, rel=1e-12), doc
+        assert got[doc]["n_obs"] == len(days)
