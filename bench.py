@@ -155,6 +155,9 @@ HEADLINE = [
     "pacf",
     "regime_segments",
     "mann_kendall",
+    "ljung_box",
+    "market_corr",
+    "chunk_plan",
 ]
 
 
