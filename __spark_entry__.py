@@ -2086,31 +2086,15 @@ def q_stream_ohlc_equiv(spark, sf):
     EXPECTED EMPTY. OHLC values are selected (not averaged) raw doubles,
     so the twins must agree exactly with no rounding. The oracle is the
     matching empty relation."""
-    from sits_classification_spark.streaming.rollup import run_ohlc_stream_once
+    from sits_classification_spark.streaming.rollup import (
+        ohlc_fold,
+        run_ohlc_stream_once,
+    )
 
     src = f"{sf}/events.parquet"
     stream = run_ohlc_stream_once(spark, src, query_name="ohlc_equiv_stream")
-    batch = (
-        spark.read.parquet(src)
-        .dropDuplicates(["user_id", "event_id"])
-        .groupBy(F.window("ts", "10 days").alias("w"), "user_id")
-        .agg(
-            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
-            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.count(F.lit(1)).alias("n_obs"),
-        )
-        .select(
-            F.col("user_id").alias("doc_id"),
-            F.col("w.start").alias("bucket_start"),
-            F.col("w.end").alias("bucket_end"),
-            F.col("_o.value").alias("open"),
-            "high",
-            "low",
-            F.col("_c.value").alias("close"),
-            "n_obs",
-        )
+    batch = ohlc_fold(
+        spark.read.parquet(src).dropDuplicates(["user_id", "event_id"])
     )
 
     def norm(df):
@@ -2909,7 +2893,10 @@ def q_ljung_box(spark, sf):
     Q = n(n+2) * sum_k r_k^2/(n-k), flagged against the chi-square 95%
     critical value at 3 df (7.814728, a shared literal). The r_k inputs
     are bit-identical across engines (q_acf), and Q is derived by the
-    identical expression tree — bit-identical doubles, integer flag."""
+    identical expression tree — bit-identical doubles, integer flag.
+    A constant series (zero variance) or n <= 3 yields NULL r_k, NULL Q,
+    and a NULL flag — the oracle spells the same NULL propagation
+    explicitly so the contract holds on degenerate inputs too."""
     a = q_acf(spark, sf)
     n = F.col("n").cast("double")
     q = (
@@ -2930,18 +2917,18 @@ def q_ljung_box(spark, sf):
 
 
 _LB_ORACLE = """
-    WITH a AS ({acf})
-    SELECT doc_id, n,
-           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
-             * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
-                + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
-                + r3*r3 / (CAST(n AS DOUBLE) - 3.0)) AS q_stat,
-           CAST(CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
-             * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
-                + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
-                + r3*r3 / (CAST(n AS DOUBLE) - 3.0)) > 7.814728
-                THEN 1 ELSE 0 END AS INTEGER) AS not_white_noise
-    FROM a
+    WITH a AS ({acf}),
+    q AS (SELECT doc_id, n,
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                   * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
+                      + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
+                      + r3*r3 / (CAST(n AS DOUBLE) - 3.0)) AS q_stat
+          FROM a)
+    SELECT doc_id, n, q_stat,
+           CAST(CASE WHEN q_stat IS NULL THEN NULL
+                     WHEN q_stat > 7.814728 THEN 1 ELSE 0 END AS INTEGER)
+               AS not_white_noise
+    FROM q
 """
 
 

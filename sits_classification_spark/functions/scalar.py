@@ -267,7 +267,20 @@ def sma_affine(
     return P.tolist(), c.tolist()
 
 
-_NNLS_SUBSETS = ((0, 1, 2), (0, 1), (0, 2), (1, 2), (0,), (1,), (2,), ())
+def _nnls_subsets(k: int) -> tuple[tuple[int, ...], ...]:
+    """All 2^k candidate active sets, descending size then lexicographic —
+    the probe order is part of the cross-engine contract (the first valid
+    subset wins, and larger-first prefers the least-clamped solution).
+    Derived from k so any endmember count enumerates correctly (a fixed
+    k=3 list silently mis-solved k>3 inputs: no subset ever freed index 3,
+    every validity flag failed, and the CASE fell through to the clamped
+    unconstrained solution)."""
+    from itertools import combinations
+
+    out: list[tuple[int, ...]] = []
+    for size in range(k, -1, -1):
+        out.extend(combinations(range(k), size))
+    return tuple(out)
 
 
 def sma_nnls_maps(
@@ -299,7 +312,7 @@ def sma_nnls_maps(
     k = E.shape[1]
     G = E.T @ E
     out = []
-    for S in _NNLS_SUBSETS:
+    for S in _nnls_subsets(k):
         P = np.zeros((k, E.shape[0]))
         if S:
             Ef = E[:, list(S)]

@@ -169,6 +169,20 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(f"only uncompressed TIFF supported (compression={comp})")
     if bits not in (8, 16) or any(b != bits for b in bits_l):
         raise ValueError(f"only uniform 8/16-bit TIFF samples supported ({bits_l})")
+    # raise-on-unsupported, never silently-wrong: SampleFormat=2 (signed,
+    # e.g. FORCE ARD Int16 with nodata -9999) would unsigned-wrap through
+    # the u2 dtype, and PlanarConfiguration=2 breaks the chunky-interleave
+    # per-band slicing below — both must be loud, like compression
+    sample_fmt = (need(339) or [1])[0]
+    if sample_fmt != 1:
+        raise ValueError(
+            f"only unsigned TIFF samples supported (SampleFormat={sample_fmt})"
+        )
+    planar = (need(284) or [1])[0]
+    if planar != 1:
+        raise ValueError(
+            f"only chunky interleave supported (PlanarConfiguration={planar})"
+        )
     raw = b"".join(payload[o : o + c] for o, c in zip(offsets, counts))
     dt = np.dtype(f"{bo}u2") if bits == 16 else np.dtype("u1")
     s = np.frombuffer(raw, dtype=dt, count=w * h * spp).astype(np.int64)

@@ -115,20 +115,47 @@ def detect_epsg(prj_text: str) -> int | None:
     geographic-in-doubt), not silently skip reprojection with wrong
     coordinates. The reference does a true CRS equality check before
     skipping (force_class_utils.py:67-83); this mirrors it for the WKT
-    fields a dependency-free parser can see."""
+    fields a dependency-free parser can see. Both WKT1 (AUTHORITY[...],
+    underscore parameter keywords) and WKT2 (ID["EPSG",3035], spelled-out
+    'Latitude of natural origin' parameter names) spellings are
+    recognized — a WKT2 EPSG:3035 .prj carries projected meters, and
+    failing to tag it would push 4.3e6-scale eastings through the
+    lon/lat->LAEA forward map."""
     t = prj_text.upper()
     import re
 
-    if re.search(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?3035"?\s*\]', t) or (
-        ("LAEA" in t or "AZIMUTHAL_EQUAL_AREA" in t or "LAMBERT_AZIMUTHAL" in t)
-        and re.search(r'"LATITUDE_OF_(CENTER|ORIGIN)"\s*,\s*52(\.0*)?\]', t)
-        and re.search(r'"LONGITUDE_OF_CENTER"|"CENTRAL_MERIDIAN"', t)
-        and re.search(r'(LONGITUDE_OF_CENTER|CENTRAL_MERIDIAN)"\s*,\s*10(\.0*)?\]', t)
-        and re.search(r'"FALSE_EASTING"\s*,\s*4321000(\.0*)?\]', t)
+    # authority id: WKT1 AUTHORITY["EPSG","3035"] or WKT2 ID["EPSG",3035]
+    def has_code(code: str) -> bool:
+        return bool(
+            re.search(rf'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?{code}"?\s*\]', t)
+            or re.search(rf'\bID\s*\[\s*"EPSG"\s*,\s*"?{code}"?\s*\]', t)
+        )
+
+    # parameter match in WKT1 ("LATITUDE_OF_CENTER",52]) or WKT2
+    # ("Latitude of natural origin",52,ANGLEUNIT[...]]) spellings
+    def param(names: str, value: str) -> bool:
+        return bool(
+            re.search(rf'"({names})"\s*,\s*{value}(\.0*)?\s*[\],]', t)
+        )
+
+    if has_code("3035") or (
+        ("LAEA" in t or "AZIMUTHAL_EQUAL_AREA" in t or "LAMBERT_AZIMUTHAL" in t
+         or "LAMBERT AZIMUTHAL" in t)
+        and param("LATITUDE_OF_(CENTER|ORIGIN)|LATITUDE OF NATURAL ORIGIN", "52")
+        and param(
+            "LONGITUDE_OF_CENTER|CENTRAL_MERIDIAN|LONGITUDE OF NATURAL ORIGIN",
+            "10",
+        )
+        and param("FALSE_EASTING|FALSE EASTING", "4321000")
     ):
         return 3035
-    if re.search(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?4326"?\s*\]', t) or (
-        "WGS_1984" in t or "WGS 84" in t or "GCS_WGS" in t
+    # name-based WGS84 fallback ONLY for a geographic root: a PROJCS in
+    # meters (e.g. EPSG:6931 EASE-Grid, datum WGS_1984) must NOT classify
+    # as lon/lat 4326
+    is_projected = t.lstrip().startswith(("PROJCS", "PROJCRS"))
+    if has_code("4326") or (
+        not is_projected
+        and ("WGS_1984" in t or "WGS 84" in t or "GCS_WGS" in t)
     ):
         return 4326
     return None

@@ -106,21 +106,15 @@ def run_file_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
-def streaming_ohlc(
-    events: DataFrame,
-    window: str = "10 days",
-    watermark: str = "30 days",
-) -> DataFrame:
-    """Windowed OHLC fold over an event stream — the streaming twin of the
-    candlestick tier (q_fold_ohlc): per (doc, event-time window) the
+def ohlc_fold(deduped: DataFrame, window: str = "10 days") -> DataFrame:
+    """The shared OHLC fold body — ONE definition consumed by both the
+    streaming twin and the batch twin, so the 'identical plan' equivalence
+    contract cannot silently drift: per (doc, event-time window) the
     first/last values by (ts, event_id) plus min/max. Open/close use
     min/max over the (ts, event_id, value) struct so ties are pinned by
-    the full ordering key — the same pinned-tie contract as the batch
-    fold. Pure windowed aggregation: watermark-bounded state, map-side
-    partial min/max structs, no custom state."""
-    deduped = events.withWatermark("ts", watermark).dropDuplicates(
-        ["user_id", "event_id"]
-    )
+    the full ordering key. Input must already be deduped on
+    (user_id, event_id) — streaming adds the watermark before dedup,
+    batch calls dropDuplicates directly."""
     return (
         deduped.groupBy(F.window("ts", window).alias("w"), "user_id")
         .agg(
@@ -141,6 +135,21 @@ def streaming_ohlc(
             "n_obs",
         )
     )
+
+
+def streaming_ohlc(
+    events: DataFrame,
+    window: str = "10 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Windowed OHLC fold over an event stream — the streaming twin of the
+    candlestick tier (q_fold_ohlc): the shared ohlc_fold body over a
+    watermark-deduped stream. Pure windowed aggregation: watermark-bounded
+    state, map-side partial min/max structs, no custom state."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_id"]
+    )
+    return ohlc_fold(deduped, window=window)
 
 
 def run_ohlc_stream_once(

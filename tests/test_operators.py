@@ -941,3 +941,43 @@ def test_market_corr_matches_numpy(spark):
         expect = np.corrcoef(x, y)[0, 1]
         assert got[doc]["market_r"] == pytest.approx(expect, rel=1e-12), doc
         assert got[doc]["n_obs"] == len(days)
+
+
+def test_sma_nnls_generalizes_beyond_three_endmembers(spark):
+    """The active-set enumeration must be derived from k (a fixed k=3
+    subset list silently mis-solved other counts). k=2: compare against
+    an independent projected-gradient NNLS solve; k=4: enumeration must
+    produce 2^4 subsets and a feasible KKT-valid selection."""
+    from sits_classification_spark.functions import scalar as X
+
+    rng = [0.13, 0.57, 0.91, 0.24, 0.68]
+    E2 = [[1.0, 0.2], [0.3, 1.0], [0.8, 0.6]]
+
+    def pgd_nnls(E, x, iters=20000, eta=0.05):
+        E = np.asarray(E)
+        x = np.asarray(x)
+        f = np.zeros(E.shape[1])
+        for _ in range(iters):
+            f = np.maximum(0.0, f - eta * (E.T @ (E @ f - x)))
+        return f
+
+    rows = [(i, rng[i % 5], rng[(i + 2) % 5], -rng[(i + 1) % 5]) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, b0 double, b1 double, b2 double")
+    res = X.sma_nnls(
+        df, [F.col(f"b{i}") for i in range(3)], E2, prefix="f"
+    ).collect()
+    for r in rows:
+        got = next(q for q in res if q["id"] == r[0])
+        ref = pgd_nnls(E2, list(r[1:]))
+        assert abs(got["f0"] - ref[0]) < 1e-5 and abs(got["f1"] - ref[1]) < 1e-5, r
+
+    E4 = [
+        [1.0, 0.1, 0.2, 0.1],
+        [0.1, 1.0, 0.1, 0.2],
+        [0.2, 0.1, 1.0, 0.1],
+        [0.1, 0.2, 0.1, 1.0],
+        [0.3, 0.2, 0.1, 0.4],
+    ]
+    maps4 = X.sma_nnls_maps(E4)
+    assert len(maps4) == 16
+    assert maps4[0][0] == (0, 1, 2, 3) and maps4[-1][0] == ()

@@ -131,6 +131,37 @@ def test_detect_epsg_variants():
     assert detect_epsg('PROJCS["UTM 32N",AUTHORITY["EPSG","32632"]]') is None
 
 
+def test_detect_epsg_wkt2_and_adversarial_cases():
+    """WKT2 spellings (ID[\"EPSG\",3035], spelled-out parameter names)
+    must classify as 3035; a non-European LAEA (EPSG:6931, datum
+    WGS_1984) and a name merely containing '3035' must NOT classify;
+    a projected CRS must never fall into the 4326 name fallback."""
+    wkt2 = (
+        'PROJCRS["ETRS89-extended / LAEA Europe",'
+        'METHOD["Lambert Azimuthal Equal Area"],'
+        'PARAMETER["Latitude of natural origin",52,ANGLEUNIT["degree",0.0174]],'
+        'PARAMETER["Longitude of natural origin",10,ANGLEUNIT["degree",0.0174]],'
+        'PARAMETER["False easting",4321000,LENGTHUNIT["metre",1]],'
+        'ID["EPSG",3035]]'
+    )
+    assert detect_epsg(wkt2) == 3035
+    assert detect_epsg(wkt2.replace(',ID["EPSG",3035]]', "]")) == 3035
+    ease = (
+        'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 North",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984"]],'
+        'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+        'PARAMETER["latitude_of_center",90],'
+        'PARAMETER["longitude_of_center",0],'
+        'PARAMETER["false_easting",0],AUTHORITY["EPSG","6931"]]'
+    )
+    assert detect_epsg(ease) is None
+    assert detect_epsg('PROJCS["Custom 3035-like name"]') is None
+    assert (
+        detect_epsg('GEOGCRS["WGS 84",DATUM["WGS 1984"],ID["EPSG",4326]]')
+        == 4326
+    )
+
+
 def test_python_vs_spark_forward_agree(spark):
     """The Python math-module reference (full-precision constants) and the
     staged Spark expression agree to < 1e-6 m across the AOI envelope."""

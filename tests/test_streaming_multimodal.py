@@ -489,3 +489,47 @@ def test_streaming_ohlc_matches_batch_and_is_nonempty(spark, sf001):
     for c in ("open", "high", "low", "close"):
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
     assert (a["n_obs"].to_numpy() == b["n_obs"].to_numpy()).all()
+
+
+def test_tiff_decoder_rejects_signed_and_planar():
+    """SampleFormat != 1 (signed ARD Int16) and PlanarConfiguration != 1
+    must raise loudly, never unsigned-wrap or mis-slice. Built as a
+    minimal hand-rolled single-strip TIFF (data before the IFD, every
+    value inline) so tag values can be varied independently."""
+    import struct
+
+    from sits_classification_spark.operators.multimodal import _decode_tiff
+
+    def mini_tiff(sample_fmt=1, planar=1):
+        data = bytes([10, 20, 30, 40])  # 2x2 8-bit single band
+        ifd_off = 8 + len(data)
+        tags = [
+            (256, 3, 1, 2),   # width
+            (257, 3, 1, 2),   # height
+            (258, 3, 1, 8),   # bits
+            (259, 3, 1, 1),   # compression
+            (273, 4, 1, 8),   # strip offset
+            (277, 3, 1, 1),   # samples/pixel
+            (278, 3, 1, 2),   # rows/strip
+            (279, 4, 1, 4),   # strip byte count
+            (284, 3, 1, planar),
+            (339, 3, 1, sample_fmt),
+        ]
+        out = b"II*\x00" + struct.pack("<I", ifd_off) + data
+        out += struct.pack("<H", len(tags))
+        for tag, typ, cnt, val in tags:
+            if typ == 3:
+                payload = struct.pack("<HH", val, 0)
+            else:
+                payload = struct.pack("<I", val)
+            out += struct.pack("<HHI", tag, typ, cnt) + payload
+        out += struct.pack("<I", 0)
+        return out
+
+    f = _decode_tiff(mini_tiff())
+    assert (f[0], f[1], f[2], f[3]) == (2, 2, 8, 1)
+    assert f[4] == 10 + 20 + 30 + 40 and (f[7], f[8]) == (10, 40)
+    with pytest.raises(ValueError, match="SampleFormat"):
+        _decode_tiff(mini_tiff(sample_fmt=2))
+    with pytest.raises(ValueError, match="PlanarConfiguration"):
+        _decode_tiff(mini_tiff(planar=2))
