@@ -1806,6 +1806,64 @@ def q_chunk_plan(spark, sf):
     )
 
 
+def q_minhash_accuracy(spark, sf):
+    """MinHash estimation-quality audit — the dedup analog of ann_recall:
+    for every LSH candidate pair, the signature-estimated Jaccard
+    (matching components / k) against the EXACT shingle-set Jaccard, plus
+    the per-pair absolute error in micro-units. Quantifies what the k=4
+    driver signature buys — and measures it honestly: on the synthetic
+    corpus the mean |est - exact| is ~0.70, i.e. 2-band candidates are
+    mostly coincidental band collisions, NOT near-duplicates. That is the
+    quantified argument for the pipeline's architecture: LSH only
+    GENERATES candidates; verification is exact Jaccard/containment
+    (ngram_jaccard, corpus_clean's content canonical) downstream. All
+    counts are exact ints; the error is |matches*union - k*inter| /
+    (k*union) micro-quantized from identical integers. Plan: the pair
+    list (already bucket-capped) joins the signature+base table twice on
+    doc id — both sides derive from the one shingle scan."""
+    from sits_classification_spark.operators.dedup import (
+        minhash_base,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    k = 4
+    d = _read(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, k=k, bands=2, max_bucket=1000)
+    both = minhash_signatures(d, k=k).join(minhash_base(d), "doc_id")
+    left = both.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+        F.col("base").alias("_ba"),
+    )
+    right = both.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+        F.col("base").alias("_bb"),
+    )
+    j = pairs.join(left, "doc_a").join(right, "doc_b")
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("long")
+    inter = F.size(F.array_intersect("_ba", "_bb")).cast("long")
+    uni = (F.size("_ba") + F.size("_bb")).cast("long") - inter
+    j = j.select(
+        "doc_a",
+        "doc_b",
+        matches.alias("matches"),
+        inter.alias("inter"),
+        uni.alias("uni"),
+    )
+    err = F.floor(
+        F.lit(1000000.0)
+        * F.abs(F.col("matches") * F.col("uni") - k * F.col("inter"))
+        / (F.lit(4.0) * F.col("uni"))
+        + F.lit(0.5)
+    ).cast("long")
+    return j.select("doc_a", "doc_b", "matches", "inter", "uni", err.alias("err_e6"))
+
+
 def q_tfidf_top_terms(spark, sf):
     """Top-3 TF-IDF terms per document (corpus keyword extraction); scores
     quantized to integer micro-units BEFORE ranking so the top-k set is
@@ -3664,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_accuracy": q_minhash_accuracy,
         "dedup_clusters": q_dedup_clusters,
         "corpus_clean": q_corpus_clean,
         "training_mix": q_training_mix,
@@ -5515,6 +5574,28 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(w) > 0)
         """,
         "minhash_lsh_pairs": _mh_pairs_sql(mh_exprs),
+        "minhash_accuracy": f"""
+            WITH b AS (SELECT doc_id, {_BASE28} AS base
+                       FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+                       WHERE len(w) > 0),
+            s AS (SELECT doc_id, base, {mh_exprs} FROM b),
+            p AS ({_mh_pairs_sql(mh_exprs)}),
+            m AS (SELECT p.doc_a, p.doc_b,
+                         CAST({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(4))}
+                              AS BIGINT) AS matches,
+                         CAST(len(list_intersect(sa.base, sb.base)) AS BIGINT)
+                             AS inter,
+                         CAST(len(sa.base) + len(sb.base)
+                              - len(list_intersect(sa.base, sb.base))
+                              AS BIGINT) AS uni
+                  FROM p
+                  JOIN s sa ON sa.doc_id = p.doc_a
+                  JOIN s sb ON sb.doc_id = p.doc_b)
+            SELECT doc_a, doc_b, matches, inter, uni,
+                   CAST(floor(1000000.0 * abs(matches * uni - 4 * inter)
+                              / (4.0 * uni) + 0.5) AS BIGINT) AS err_e6
+            FROM m
+        """,
         "corpus_clean": f"""
             WITH RECURSIVE pairs AS ({_mh_pairs_sql(mh_exprs)}),
             edges AS (
