@@ -2946,6 +2946,108 @@ _MARKET_ORACLE = """
 """
 
 
+def q_pettitt(spark, sf):
+    """Pettitt change-point test (Pettitt 1979) per series — the canonical
+    nonparametric SINGLE-changepoint locator, completing the break-
+    detection triad (CUSUM flags drift, regime_segments labels the path,
+    Pettitt pinpoints and tests the split): U_t = sum_{i<=t, j>t}
+    sgn(x_j - x_i), K = max_t |U_t|, change point = the day at the
+    smallest t attaining K. Computed via the exact recurrence
+    U_t = U_{t-1} + W_t with W_t = sum_{j != t} sgn(x_j - x_t) — one
+    O(n^2) row-sign pass + a prefix sum, all int64 over cent-quantized
+    values. Significance: the standard approximation p = 2 exp(-6K^2 /
+    (n^3 + n^2)) < 0.05 becomes the integer-fed comparison
+    6.0*K^2/(n^3+n^2) > 3.6888794541139363 (= ln 40, a shared literal).
+    Plan: the theil_sen array pattern — one collect_list on the shared
+    doc exchange, signs JVM-side, no self-join."""
+    s = _series(spark, sf)
+    cq = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = s.select("doc_id", F.col("day"), cq.alias("cq"))
+    arr = F.array_sort(F.collect_list(F.struct("day", "cq")))
+    g = base.groupBy("doc_id").agg(arr.alias("a"))
+    w_arr = F.transform(
+        "a",
+        lambda x: F.aggregate(
+            "a",
+            F.lit(0).cast("long"),
+            lambda acc, y: acc
+            + F.signum((y["cq"] - x["cq"]).cast("double")).cast("long"),
+        ),
+    )
+    g = g.select("doc_id", "a", F.size("a").alias("n"), w_arr.alias("w"))
+    # U_t = prefix sum of w over t = 1..n-1 (the full-series sum is 0 by
+    # antisymmetry, so t = n is excluded by construction)
+    u_arr = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda t: F.aggregate(
+            F.slice("w", F.lit(1), t),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    g = g.filter(F.col("n") >= 2).select(
+        "doc_id", "a", "n", u_arr.alias("u")
+    )
+    k_stat = F.array_max(F.transform("u", F.abs))
+    g = g.select("doc_id", "a", "n", "u", k_stat.alias("k_stat"))
+    # smallest t with |U_t| = K (1-based); array_position finds the first
+    change_t = F.array_position(
+        F.transform("u", lambda x: F.abs(x) == F.col("k_stat")), True
+    ).cast("int")
+    g = g.select("doc_id", "a", "n", "k_stat", change_t.alias("ct"))
+    change_day = F.element_at("a", F.col("ct"))["day"].cast("long")
+    n = F.col("n").cast("double")
+    stat = (
+        F.lit(6.0)
+        * (F.col("k_stat") * F.col("k_stat")).cast("double")
+        / (n * n * n + n * n)
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        change_day.alias("change_day"),
+        (stat > 3.6888794541139363).cast("int").alias("significant"),
+    )
+
+
+_PETTITT_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id, day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY day) AS t,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s),
+    w AS (SELECT a.doc_id, a.t, a.day, a.n,
+                 CAST(sum(CASE WHEN bb.cq > a.cq THEN 1
+                               WHEN bb.cq < a.cq THEN -1 ELSE 0 END)
+                      AS BIGINT) AS w
+          FROM b a JOIN b bb ON bb.doc_id = a.doc_id AND bb.t <> a.t
+          GROUP BY a.doc_id, a.t, a.day, a.n),
+    u AS (SELECT doc_id, t, day, n,
+                 sum(w) OVER (PARTITION BY doc_id ORDER BY t) AS u
+          FROM w),
+    k AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_obs,
+                 CAST(max(abs(u)) AS BIGINT) AS k_stat
+          FROM u WHERE t < n GROUP BY doc_id),
+    c AS (SELECT u.doc_id, min(u.t) AS ct
+          FROM u JOIN k ON k.doc_id = u.doc_id
+          WHERE u.t < u.n AND abs(u.u) = k.k_stat
+          GROUP BY u.doc_id)
+    SELECT k.doc_id, k.n_obs, k.k_stat,
+           CAST(max(b.day) AS BIGINT) AS change_day,
+           CAST(CASE WHEN 6.0 * CAST(k.k_stat * k.k_stat AS DOUBLE)
+                          / (CAST(k.n_obs AS DOUBLE) * k.n_obs * k.n_obs
+                             + CAST(k.n_obs AS DOUBLE) * k.n_obs)
+                          > 3.6888794541139363
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM k
+    JOIN c ON c.doc_id = k.doc_id
+    JOIN b ON b.doc_id = k.doc_id AND b.t = c.ct
+    GROUP BY k.doc_id, k.n_obs, k.k_stat
+"""
+
+
 def q_ljung_box(spark, sf):
     """Ljung-Box portmanteau white-noise test at m=3 lags per series:
     Q = n(n+2) * sum_k r_k^2/(n-k), flagged against the chi-square 95%
@@ -3768,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "ljung_box": q_ljung_box,
         "market_corr": q_market_corr,
+        "pettitt": q_pettitt,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5728,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
             acf=_ACF_ORACLE.format(series=_SERIES_SQL)
         ),
         "market_corr": _MARKET_ORACLE.format(series=_SERIES_SQL),
+        "pettitt": _PETTITT_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

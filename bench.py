@@ -158,6 +158,8 @@ HEADLINE = [
     "ljung_box",
     "market_corr",
     "chunk_plan",
+    "pettitt",
+    "minhash_accuracy",
 ]
 
 

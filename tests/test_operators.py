@@ -981,3 +981,51 @@ def test_sma_nnls_generalizes_beyond_three_endmembers(spark):
     maps4 = X.sma_nnls_maps(E4)
     assert len(maps4) == 16
     assert maps4[0][0] == (0, 1, 2, 3) and maps4[-1][0] == ()
+
+
+def test_pettitt_matches_direct_double_sum(spark):
+    """U_t from the W-recurrence equals the direct double-pair definition
+    U_t = sum_{i<=t, j>t} sgn(x_j - x_i), K and the change point match,
+    and a clean level shift is located at the shift and significant."""
+    from collections import defaultdict
+
+    import __spark_entry__ as e
+    import os
+    import tempfile
+
+    cases = {
+        1: [10.0, 11.0, 9.5, 10.5, 10.8, 9.8, 30.0, 31.0, 29.5, 30.5,
+            31.5, 29.0, 30.2, 30.8, 29.8, 30.4],  # clean shift after t=6
+        2: [5.0, 9.0, 3.0, 8.0, 2.0, 7.5, 4.5, 6.0, 5.5, 8.5],  # noise
+    }
+    rows, eid = [], 0
+    for doc, vals in cases.items():
+        for i, v in enumerate(vals):
+            rows.append((doc, f"2024-04-{i+1:02d} 00:00:00", v, eid))
+            eid += 1
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {r["doc_id"]: r for r in e.queries()["pettitt"](spark, d).collect()}
+    day0 = (pd.Timestamp("2024-04-01") - pd.Timestamp("1970-01-01")).days
+    for doc, vals in cases.items():
+        x = [int(np.floor(v * 100 + 0.5)) for v in vals]
+        n = len(x)
+        us = {}
+        for t in range(1, n):
+            us[t] = sum(
+                (x[j] > x[i]) - (x[j] < x[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+        k = max(abs(u) for u in us.values())
+        ct = min(t for t, u in us.items() if abs(u) == k)
+        p = 2 * np.exp(-6.0 * k * k / (n**3 + n**2))
+        r = got[doc]
+        assert r["k_stat"] == k and r["change_day"] == day0 + ct - 1, doc
+        assert r["significant"] == int(p < 0.05), doc
+    assert got[1]["significant"] == 1
+    assert got[1]["change_day"] == day0 + 5  # t=6, last pre-shift obs
