@@ -45,6 +45,31 @@ from pyspark.sql import DataFrame
 from sits_classification_spark.operators.seriesmap import map_doc_groups
 
 
+def regime_decode(cq: np.ndarray) -> tuple[int, int, int, int, str]:
+    """The pure regime Viterbi for one day-ordered cents series: returns
+    (m_lo, m_hi, gamma, total_cost, path). Exposed module-level so
+    property tests can drive it directly against exhaustive path
+    enumeration; regime_segments' kernel calls exactly this."""
+    t = len(cq)
+    srt = np.sort(cq)
+    m_lo = int(srt[(t + 3) // 4 - 1])
+    m_hi = int(srt[(3 * t + 3) // 4 - 1])
+    g = max(1, m_hi - m_lo)
+    c0 = np.abs(cq - m_lo)
+    c1 = np.abs(cq - m_hi)
+    v0, v1 = int(c0[0]), int(c1[0]) + g
+    p0, p1 = "0", "1"
+    for i in range(1, t):
+        # tie prefers staying in the current state
+        n0 = int(c0[i]) + (v0 if v0 <= v1 + g else v1 + g)
+        q0 = (p0 if v0 <= v1 + g else p1) + "0"
+        n1 = int(c1[i]) + (v1 if v1 <= v0 + g else v0 + g)
+        q1 = (p1 if v1 <= v0 + g else p0) + "1"
+        v0, v1, p0, p1 = n0, n1, q0, q1
+    total, path = (v0, p0) if v0 <= v1 else (v1, p1)
+    return m_lo, m_hi, g, int(total), path
+
+
 def regime_segments(long: DataFrame) -> DataFrame:
     """Per-doc LOW/HIGH regime decoding over (doc_id, day, value) rows.
 
@@ -59,32 +84,16 @@ def regime_segments(long: DataFrame) -> DataFrame:
         cq = np.floor(
             pdf["value"].to_numpy(dtype=np.float64) * 100 + 0.5
         ).astype(np.int64)
-        t = len(cq)
-        srt = np.sort(cq)
-        m_lo = int(srt[(t + 3) // 4 - 1])
-        m_hi = int(srt[(3 * t + 3) // 4 - 1])
-        g = max(1, m_hi - m_lo)
-        c0 = np.abs(cq - m_lo)
-        c1 = np.abs(cq - m_hi)
-        v0, v1 = int(c0[0]), int(c1[0]) + g
-        p0, p1 = "0", "1"
-        for i in range(1, t):
-            # tie prefers staying in the current state
-            n0 = int(c0[i]) + (v0 if v0 <= v1 + g else v1 + g)
-            q0 = (p0 if v0 <= v1 + g else p1) + "0"
-            n1 = int(c1[i]) + (v1 if v1 <= v0 + g else v0 + g)
-            q1 = (p1 if v1 <= v0 + g else p0) + "1"
-            v0, v1, p0, p1 = n0, n1, q0, q1
-        total, path = (v0, p0) if v0 <= v1 else (v1, p1)
+        m_lo, m_hi, g, total, path = regime_decode(cq)
         return pd.DataFrame(
             [
                 {
                     "doc_id": pdf["doc_id"].iloc[0],
-                    "n_obs": t,
+                    "n_obs": len(cq),
                     "m_lo": m_lo,
                     "m_hi": m_hi,
                     "gamma": g,
-                    "total_cost": int(total),
+                    "total_cost": total,
                     "n_high": path.count("1"),
                     "path": path,
                 }

@@ -86,6 +86,35 @@ def pattern_micro(
     return out
 
 
+def twdtw_distance(
+    doy: np.ndarray,
+    vq: np.ndarray,
+    pdoy: np.ndarray,
+    pval: np.ndarray,
+    weight_per_day: int,
+) -> int:
+    """The pure TWDTW DP for one (series, pattern): asymmetric steps,
+    open begin/end, all int64. Exposed module-level so property tests can
+    drive it directly against an independent reference without a Spark
+    round-trip; twdtw_classify's kernel calls exactly this."""
+    diff = np.abs(doy[:, None] - pdoy[None, :])
+    psi = np.abs(vq[:, None] - pval[None, :]) + weight_per_day * np.minimum(
+        diff, 365 - diff
+    )
+    r = psi.shape[1]
+    dp = np.full(r, INF, dtype=np.int64)
+    dp[0] = psi[0, 0]
+    best = dp[r - 1]
+    for i in range(1, len(vq)):
+        m = dp.copy()
+        m[1:] = np.minimum(m[1:], dp[:-1])
+        m[2:] = np.minimum(m[2:], dp[:-2])
+        m[0] = min(dp[0], 0)
+        dp = psi[i] + m
+        best = min(best, int(dp[r - 1]))
+    return int(best)
+
+
 def twdtw_classify(
     long: DataFrame,
     patterns: list[list[tuple[int, float]]] | None = None,
@@ -110,24 +139,9 @@ def twdtw_classify(
             np.int64
         )
         doy = ((day % 365) + 365) % 365
-        dists = []
-        for p in range(k):
-            diff = np.abs(doy[:, None] - pdoy[p][None, :])
-            psi = np.abs(vq[:, None] - pval[p][None, :]) + w * np.minimum(
-                diff, 365 - diff
-            )
-            r = psi.shape[1]
-            dp = np.full(r, INF, dtype=np.int64)
-            dp[0] = psi[0, 0]
-            best = dp[r - 1]
-            for i in range(1, len(vq)):
-                m = dp.copy()
-                m[1:] = np.minimum(m[1:], dp[:-1])
-                m[2:] = np.minimum(m[2:], dp[:-2])
-                m[0] = min(dp[0], 0)
-                dp = psi[i] + m
-                best = min(best, int(dp[r - 1]))
-            dists.append(int(best))
+        dists = [
+            twdtw_distance(doy, vq, pdoy[p], pval[p], w) for p in range(k)
+        ]
         label = int(np.argmin(dists))  # first minimum — ties to smallest pid
         row = {"doc_id": pdf["doc_id"].iloc[0]}
         for p in range(k):
