@@ -2946,6 +2946,101 @@ _MARKET_ORACLE = """
 """
 
 
+def q_seasonal_mk(spark, sf):
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984, independence form) —
+    the trend test actually used on seasonal environmental series (and on
+    the engine's folded tiers): MK's S and tie-corrected 18*Var(S) are
+    computed WITHIN each season (month-of-year by the engine's m30
+    convention: (day DIV 30) % 12) and summed per doc; a monotone trend
+    masked by seasonality in plain MK becomes visible, and an annual
+    cycle cannot fake one. Seasons with < 2 observations drop from both
+    sums (both engines spell the same rule). Implementation reuses the
+    mann_kendall operator verbatim on a composite (doc, season) key —
+    the sums stay exact int64; Z = (S-+1)/sqrt(var18/18.0) from identical
+    integers."""
+    from sits_classification_spark.operators.stm import mann_kendall
+
+    s = _series(spark, sf)
+    sid = (F.col("doc_id") * 12 + F.expr("(day DIV 30) % 12")).alias("doc_id")
+    per_season = mann_kendall(s.select(sid, "day", "value"))
+    agg = (
+        per_season.withColumn("doc", F.expr("doc_id DIV 12"))
+        .groupBy("doc")
+        .agg(
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.count(F.lit(1)).cast("long").alias("n_seasons"),
+            F.sum("s_stat").cast("long").alias("s_stat"),
+            F.sum("var18").cast("long").alias("var18"),
+        )
+    )
+    z = (
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1).cast("double")
+               / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1).cast("double")
+              / F.sqrt(F.col("var18") / F.lit(18.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col("doc").alias("doc_id"),
+        "n_obs",
+        "n_seasons",
+        "s_stat",
+        "var18",
+        z.alias("z"),
+        (F.abs(z) > 1.96).cast("int").alias("significant"),
+    )
+
+
+_SMK_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id, day,
+                 (day // 30) % 12 AS season,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq
+          FROM s),
+    pr AS (SELECT a.doc_id, a.season,
+                  CAST(sum(CASE WHEN bb.cq > a.cq THEN 1
+                                WHEN bb.cq < a.cq THEN -1 ELSE 0 END)
+                       AS BIGINT) AS s_g
+           FROM b a JOIN b bb
+             ON bb.doc_id = a.doc_id AND bb.season = a.season
+             AND bb.day > a.day
+           GROUP BY a.doc_id, a.season),
+    nn AS (SELECT doc_id, season, CAST(count(*) AS BIGINT) AS n_g FROM b
+           GROUP BY doc_id, season),
+    tg AS (SELECT doc_id, season, cq, count(*) AS t FROM b
+           GROUP BY doc_id, season, cq),
+    tt AS (SELECT doc_id, season,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_g
+           FROM tg GROUP BY doc_id, season),
+    g AS (SELECT nn.doc_id, nn.season, nn.n_g,
+                 coalesce(pr.s_g, 0) AS s_g,
+                 CAST(nn.n_g * (nn.n_g - 1) * (2 * nn.n_g + 5)
+                      - tt.tie_g AS BIGINT) AS var18_g
+          FROM nn JOIN tt ON tt.doc_id = nn.doc_id AND tt.season = nn.season
+          LEFT JOIN pr ON pr.doc_id = nn.doc_id AND pr.season = nn.season
+          WHERE nn.n_g >= 2),
+    a AS (SELECT doc_id,
+                 CAST(sum(n_g) AS BIGINT) AS n_obs,
+                 CAST(count(*) AS BIGINT) AS n_seasons,
+                 CAST(sum(s_g) AS BIGINT) AS s_stat,
+                 CAST(sum(var18_g) AS BIGINT) AS var18
+          FROM g GROUP BY doc_id),
+    z AS (SELECT *,
+                 CASE WHEN s_stat > 0 THEN
+                        CAST(s_stat - 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                      WHEN s_stat < 0 THEN
+                        CAST(s_stat + 1 AS DOUBLE) / sqrt(var18 / 18.0)
+                      ELSE 0.0 END AS z
+          FROM a)
+    SELECT doc_id, n_obs, n_seasons, s_stat, var18, z,
+           CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS INTEGER)
+               AS significant
+    FROM z
+"""
+
+
 def q_pettitt(spark, sf):
     """Pettitt change-point test (Pettitt 1979) per series — the canonical
     nonparametric SINGLE-changepoint locator, completing the break-
@@ -3871,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "market_corr": q_market_corr,
         "pettitt": q_pettitt,
+        "seasonal_mk": q_seasonal_mk,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5832,6 +5928,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "market_corr": _MARKET_ORACLE.format(series=_SERIES_SQL),
         "pettitt": _PETTITT_ORACLE.format(series=_SERIES_SQL),
+        "seasonal_mk": _SMK_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

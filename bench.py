@@ -160,6 +160,7 @@ HEADLINE = [
     "chunk_plan",
     "pettitt",
     "minhash_accuracy",
+    "seasonal_mk",
 ]
 
 

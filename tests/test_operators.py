@@ -1029,3 +1029,72 @@ def test_pettitt_matches_direct_double_sum(spark):
         assert r["significant"] == int(p < 0.05), doc
     assert got[1]["significant"] == 1
     assert got[1]["change_day"] == day0 + 5  # t=6, last pre-shift obs
+
+
+def test_seasonal_mk_matches_per_season_sums(spark):
+    """Seasonal MK equals MK computed independently per season (direct
+    double-sum + tie correction) and summed, with <2-obs seasons dropped;
+    a seasonal cycle alone must NOT be significant, while the same cycle
+    plus a cross-year monotone shift must be."""
+    import os
+    import tempfile
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as e
+
+    base_day = 360 * 55  # arbitrary epoch offset, multiple of 30
+    cases = {}
+    # doc 1: pure seasonal cycle over 2 "years" of 30-day months
+    cases[1] = [
+        (base_day + y * 360 + m * 30 + 3, 50.0 + 20.0 * (m % 2))
+        for y in range(2)
+        for m in range(12)
+    ]
+    # doc 2: same cycle + strong cross-year shift
+    cases[2] = [
+        (base_day + y * 360 + m * 30 + 3, 50.0 + 20.0 * (m % 2) + 40.0 * y)
+        for y in range(2)
+        for m in range(12)
+    ]
+    rows, eid = [], 0
+    for doc, pts in cases.items():
+        for d, v in pts:
+            ts = pd.Timestamp("1970-01-01") + pd.Timedelta(days=d)
+            rows.append((doc, ts, v, eid))
+            eid += 1
+    dirp = tempfile.mkdtemp()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(dirp, "events.parquet")
+    )
+    got = {r["doc_id"]: r for r in e.queries()["seasonal_mk"](spark, dirp).collect()}
+
+    for doc, pts in cases.items():
+        seasons = defaultdict(list)
+        for d, v in sorted(pts):
+            seasons[(d // 30) % 12].append(int(np.floor(v * 100 + 0.5)))
+        S = V = N = G = 0
+        for x in seasons.values():
+            if len(x) < 2:
+                continue
+            n = len(x)
+            S += sum(
+                (x[j] > x[i]) - (x[j] < x[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(x).values())
+            V += n * (n - 1) * (2 * n + 5) - tie
+            N += n
+            G += 1
+        r = got[doc]
+        assert (r["s_stat"], r["var18"], r["n_obs"], r["n_seasons"]) == (S, V, N, G), doc
+        if S > 0:
+            z = (S - 1) / np.sqrt(V / 18.0)
+        elif S < 0:
+            z = (S + 1) / np.sqrt(V / 18.0)
+        else:
+            z = 0.0
+        assert r["significant"] == int(abs(z) > 1.96), doc
+    assert got[1]["significant"] == 0  # cycle alone: no trend
+    assert got[2]["significant"] == 1  # cycle + shift: trend found
