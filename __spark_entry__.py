@@ -2946,6 +2946,110 @@ _MARKET_ORACLE = """
 """
 
 
+def q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test per series — the classical randomness
+    screen the diagnostics menu lacked (ACF measures linear dependence;
+    runs detects ANY above/below-median clustering): dichotomize at the
+    exact lower median (rank (n+1) DIV 2 over (cq, day) — the house
+    percentile_disc rule), drop median-equal observations (the standard
+    convention), count runs R in day order, and compare against the
+    exact-integer-fed normal approximation mean = 1 + 2*n1*n2/n,
+    var = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)). R, n1, n2 are exact int64;
+    z derives by identical expressions, NULL when var = 0 (one-sided or
+    constant series — both engines spell the NULL explicitly). One shared
+    doc exchange: the median is a windowed CASE-max, runs a lag window."""
+    s = _series(spark, sf)
+    cq = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    b = s.select("doc_id", "day", cq.alias("cq"))
+    wd = Window.partitionBy("doc_id")
+    b = (
+        b.withColumn("n_all", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "vr",
+            F.row_number().over(wd.orderBy("cq", "day")),
+        )
+    )
+    med = F.max(
+        F.when(F.col("vr") == F.expr("(n_all + 1) DIV 2"), F.col("cq"))
+    ).over(wd)
+    b = b.withColumn("med", med).filter(F.col("cq") != F.col("med"))
+    above = (F.col("cq") > F.col("med")).cast("int")
+    wo = wd.orderBy("day")
+    b = b.withColumn("ab", above).withColumn("prev", F.lag("ab").over(wo))
+    agg = b.groupBy("doc_id").agg(
+        F.sum("ab").cast("long").alias("n1"),
+        F.sum(1 - F.col("ab")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("ab") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    mean = F.lit(1.0) + 2.0 * n1 * n2 / n
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = F.when(var > 0, (F.col("runs").cast("double") - mean) / F.sqrt(var))
+    return agg.select(
+        "doc_id",
+        "n1",
+        "n2",
+        "runs",
+        z.alias("z"),
+        F.when(z.isNotNull(), (F.abs(z) > 1.96).cast("int")).alias(
+            "non_random"
+        ),
+    )
+
+
+_RUNS_ORACLE = """
+    WITH s AS ({series}),
+    b AS (SELECT doc_id, day,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cq,
+                 count(*) OVER (PARTITION BY doc_id) AS n_all,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), day)
+                     AS vr
+          FROM s),
+    m AS (SELECT *,
+                 max(CASE WHEN vr = (n_all + 1) // 2 THEN cq END)
+                     OVER (PARTITION BY doc_id) AS med
+          FROM b),
+    f AS (SELECT doc_id, day,
+                 CASE WHEN cq > med THEN 1 ELSE 0 END AS ab,
+                 lag(CASE WHEN cq > med THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY day) AS prev
+          FROM m WHERE cq <> med),
+    a AS (SELECT doc_id,
+                 CAST(sum(ab) AS BIGINT) AS n1,
+                 CAST(sum(1 - ab) AS BIGINT) AS n2,
+                 CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ab <> prev
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS runs
+          FROM f GROUP BY doc_id),
+    z AS (SELECT *,
+                 CASE WHEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + CAST(n2 AS DOUBLE)))
+                           / ((n1 + CAST(n2 AS DOUBLE)) * (n1 + CAST(n2 AS DOUBLE))
+                              * ((n1 + CAST(n2 AS DOUBLE)) - 1.0)) > 0
+                      THEN (CAST(runs AS DOUBLE)
+                            - (1.0 + 2.0 * n1 * n2 / (n1 + CAST(n2 AS DOUBLE))))
+                           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + CAST(n2 AS DOUBLE)))
+                                  / ((n1 + CAST(n2 AS DOUBLE)) * (n1 + CAST(n2 AS DOUBLE))
+                                     * ((n1 + CAST(n2 AS DOUBLE)) - 1.0)))
+                      END AS z
+          FROM a)
+    SELECT doc_id, n1, n2, runs, z,
+           CAST(CASE WHEN z IS NULL THEN NULL
+                     WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS INTEGER)
+               AS non_random
+    FROM z
+"""
+
+
 def q_seasonal_mk(spark, sf):
     """Seasonal Mann-Kendall (Hirsch & Slack 1984, independence form) —
     the trend test actually used on seasonal environmental series (and on
@@ -3967,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_corr": q_market_corr,
         "pettitt": q_pettitt,
         "seasonal_mk": q_seasonal_mk,
+        "runs_test": q_runs_test,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -5929,6 +6034,7 @@ def oracle_sql() -> dict[str, str]:
         "market_corr": _MARKET_ORACLE.format(series=_SERIES_SQL),
         "pettitt": _PETTITT_ORACLE.format(series=_SERIES_SQL),
         "seasonal_mk": _SMK_ORACLE.format(series=_SERIES_SQL),
+        "runs_test": _RUNS_ORACLE.format(series=_SERIES_SQL),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -161,6 +161,7 @@ HEADLINE = [
     "pettitt",
     "minhash_accuracy",
     "seasonal_mk",
+    "runs_test",
 ]
 
 

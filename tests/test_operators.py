@@ -1098,3 +1098,56 @@ def test_seasonal_mk_matches_per_season_sums(spark):
         assert r["significant"] == int(abs(z) > 1.96), doc
     assert got[1]["significant"] == 0  # cycle alone: no trend
     assert got[2]["significant"] == 1  # cycle + shift: trend found
+
+
+def test_runs_test_matches_definition(spark):
+    """R/n1/n2/z equal the textbook runs test computed independently,
+    including median-equal drops; an alternating series is flagged
+    non-random (too many runs), an iid-ish one is not."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e
+
+    cases = {
+        1: [10.0 + 0.1 * i if i % 2 == 0 else 50.0 + 0.1 * i
+            for i in range(20)],                   # distinct-valued alternation
+        2: [11.0, 13.5, 12.7, 9.0, 8.8, 14.2, 13.9, 10.1, 9.7, 12.2,
+            13.1, 10.5],                            # clustered, iid-compatible
+        3: [5.0, 5.0, 5.0, 5.0],                    # constant -> no row
+    }
+    rows, eid = [], 0
+    for doc, vals in cases.items():
+        for i, v in enumerate(vals):
+            rows.append((doc, f"2024-05-{i+1:02d} 00:00:00", v, eid))
+            eid += 1
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = {r["doc_id"]: r for r in e.queries()["runs_test"](spark, d).collect()}
+
+    assert 3 not in got  # every obs equals the median -> the doc drops
+    for doc, vals in cases.items():
+        x = [int(np.floor(v * 100 + 0.5)) for v in vals]
+        med = sorted(x)[(len(x) + 1) // 2 - 1]
+        seq = [1 if c > med else 0 for c in x if c != med]
+        if not seq:
+            continue
+        n1, n2 = sum(seq), len(seq) - sum(seq)
+        r = got[doc]
+        assert (r["n1"], r["n2"]) == (n1, n2), doc
+        runs = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+        assert r["runs"] == runs, doc
+        n = n1 + n2
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)) if n > 1 else 0.0
+        if var > 0:
+            z = (runs - (1.0 + 2.0 * n1 * n2 / n)) / np.sqrt(var)
+            assert r["z"] == pytest.approx(z, rel=1e-12), doc
+            assert r["non_random"] == int(abs(z) > 1.96), doc
+        else:
+            assert r["z"] is None and r["non_random"] is None, doc
+    assert got[1]["non_random"] == 1
+    assert got[2]["non_random"] == 0
