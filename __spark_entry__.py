@@ -2946,6 +2946,114 @@ _MARKET_ORACLE = """
 """
 
 
+def q_predict_plan(spark, sf):
+    """The assembled chunked-inference loop of the reference's prediction
+    path (pytorch/predict.py:498-531) as ONE map-only plan: nodata
+    zero-mask short-circuit (498-507) -> end-padding compaction (173-215,
+    W8) -> model forward through a deterministic seam -> response denorm
+    (521-525) -> argmax class (527-528, C6 tie rule) -> -9999 scatter for
+    masked pixels (530-531). The torch model is replaced by a literal
+    integer linear scorer W[c][i] = ((c*7 + i*3) % 11) - 5 over
+    micro-quantized components (the model seam carries the plumbing —
+    batch shape, masking, padding, denorm, argmax — which is what Spark
+    owns; swapping in a real predictor is a one-function change). The
+    fixture has no nodata pixels, so vec_id % 7 == 0 vectors are zeroed
+    as the synthetic nodata injection, exercising the mask path in both
+    engines. Everything is exact int64; zero padding is a no-op for a
+    linear model, so compaction reduces to position-reindexed weights
+    over the nonzero components — the identical fold both engines spell.
+    Map-only: no shuffle, no window, no UDF."""
+    n_classes = 5
+    emb = _read(spark, sf, "embeddings")
+    xq = F.transform(
+        "embedding",
+        lambda x: F.when(
+            F.col("vec_id") % 7 == 0, F.lit(0).cast("long")
+        ).otherwise(F.floor(x.cast("double") * 1000000 + 0.5).cast("long")),
+    )
+    e = emb.select("vec_id", xq.alias("xq"))
+    comp = F.filter("xq", lambda x: x != 0)
+    e = e.select(
+        "vec_id",
+        comp.alias("comp"),
+        F.size(comp).cast("long").alias("n_valid"),
+    )
+    def weigher(c):
+        # closure factory: Spark introspects lambda arity, so the class
+        # index must be closed over, not a default arg
+        return lambda x, i: x * (F.pmod(F.lit(c * 7) + i * 3, F.lit(11)) - 5)
+
+    scores = []
+    for c in range(n_classes):
+        weighted = F.transform("comp", weigher(c))
+        raw = F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        scores.append((raw * (c + 1) + F.lit(1000 * c)).alias(f"_s{c}"))
+    e = e.select("vec_id", "n_valid", *scores)
+    arms = None
+    for c in range(n_classes):
+        cond = F.lit(True)
+        for d in range(c + 1, n_classes):
+            cond = cond & (F.col(f"_s{c}") >= F.col(f"_s{d}"))
+        for d in range(c):
+            cond = cond & (F.col(f"_s{c}") > F.col(f"_s{d}"))
+        arms = (
+            F.when(cond, F.lit(c)) if arms is None else arms.when(cond, F.lit(c))
+        )
+    cls = F.when(F.col("n_valid") == 0, F.lit(-9999)).otherwise(
+        arms.otherwise(F.lit(-1))
+    )
+    top = F.when(
+        F.col("n_valid") > 0,
+        F.greatest(*[F.col(f"_s{c}") for c in range(n_classes)]),
+    )
+    return e.select(
+        "vec_id",
+        "n_valid",
+        cls.cast("long").alias("cls"),
+        top.cast("long").alias("top_score"),
+    )
+
+
+def _predict_plan_oracle_sql(n_classes: int = 5) -> str:
+    score_cols = []
+    for c in range(n_classes):
+        score_cols.append(
+            f"CAST(list_aggregate(list_transform(comp, "
+            f"(x, i) -> x * ((({c * 7} + (i - 1) * 3) % 11) - 5)), 'sum') "
+            f"* {c + 1} + {1000 * c} AS BIGINT) AS _s{c}"
+        )
+    arms = []
+    for c in range(n_classes):
+        conds = ["TRUE"]
+        for d in range(c + 1, n_classes):
+            conds.append(f"_s{c} >= _s{d}")
+        for d in range(c):
+            conds.append(f"_s{c} > _s{d}")
+        arms.append(f"WHEN {' AND '.join(conds)} THEN {c}")
+    top = "greatest(" + ", ".join(f"_s{c}" for c in range(n_classes)) + ")"
+    return f"""
+    WITH b AS (SELECT vec_id,
+                      list_filter(
+                        list_transform(embedding, x ->
+                          CASE WHEN vec_id % 7 = 0 THEN CAST(0 AS BIGINT)
+                               ELSE CAST(floor(CAST(x AS DOUBLE) * 1000000
+                                                + 0.5) AS BIGINT) END),
+                        x -> x <> 0) AS comp
+               FROM embeddings),
+    s AS (SELECT vec_id, CAST(len(comp) AS BIGINT) AS n_valid,
+                 {", ".join(score_cols)}
+          FROM b)
+    SELECT vec_id, n_valid,
+           CAST(CASE WHEN n_valid = 0 THEN -9999
+                     ELSE (CASE {" ".join(arms)} ELSE -1 END) END
+                AS BIGINT) AS cls,
+           CASE WHEN n_valid > 0 THEN CAST({top} AS BIGINT) END AS top_score
+    FROM s
+"""
+
+
 def q_runs_test(spark, sf):
     """Wald-Wolfowitz runs test per series — the classical randomness
     screen the diagnostics menu lacked (ACF measures linear dependence;
@@ -4072,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": q_pettitt,
         "seasonal_mk": q_seasonal_mk,
         "runs_test": q_runs_test,
+        "predict_plan": q_predict_plan,
         "stream_fold_equiv": q_stream_fold_equiv,
         "stream_ohlc_equiv": q_stream_ohlc_equiv,
         "stream_cusum_equiv": q_stream_cusum_equiv,
@@ -6035,6 +6144,7 @@ def oracle_sql() -> dict[str, str]:
         "pettitt": _PETTITT_ORACLE.format(series=_SERIES_SQL),
         "seasonal_mk": _SMK_ORACLE.format(series=_SERIES_SQL),
         "runs_test": _RUNS_ORACLE.format(series=_SERIES_SQL),
+        "predict_plan": _predict_plan_oracle_sql(),
         "bm25_scores": _bm25_oracle_sql(),
         "stratified_split": _split_oracle_sql(),
         "pack_chunks": _pack_oracle_sql(),

@@ -162,6 +162,7 @@ HEADLINE = [
     "minhash_accuracy",
     "seasonal_mk",
     "runs_test",
+    "predict_plan",
 ]
 
 

@@ -1151,3 +1151,38 @@ def test_runs_test_matches_definition(spark):
             assert r["z"] is None and r["non_random"] is None, doc
     assert got[1]["non_random"] == 1
     assert got[2]["non_random"] == 0
+
+
+def test_predict_plan_mask_and_hand_scores(spark):
+    """The inference plan's mask path emits -9999 with NULL score; an
+    unmasked vector's class equals the hand-computed argmax of the literal
+    linear scorer over its micro-quantized nonzero components."""
+    import __spark_entry__ as e
+
+    out = {
+        r["vec_id"]: r
+        for r in e.queries()["predict_plan"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(15)
+        .collect()
+    )
+    for row in emb:
+        vid, vec = row["vec_id"], row["embedding"]
+        r = out[vid]
+        if vid % 7 == 0:
+            assert r["cls"] == -9999 and r["top_score"] is None and r["n_valid"] == 0
+            continue
+        comp = [int(np.floor(float(x) * 1000000 + 0.5)) for x in vec]
+        comp = [x for x in comp if x != 0]
+        scores = []
+        for c in range(5):
+            raw = sum(x * (((c * 7 + i * 3) % 11) - 5) for i, x in enumerate(comp))
+            scores.append(raw * (c + 1) + 1000 * c)
+        best = max(scores)
+        cls = scores.index(best)  # first max = smallest class, the C6 rule
+        assert (r["n_valid"], r["cls"], r["top_score"]) == (len(comp), cls, best), vid
